@@ -1,0 +1,105 @@
+"""Container state: hash table + flat voxel pool + frame counters.
+
+TPU equivalent of VoxelContainer's device buffers
+(mrhash/src/sdf/voxel_data_structures.cuh:253-274).  The voxel pool is SoA
+over one flat axis of num_blocks * 512 voxels; a res-0 block with ptr p owns
+voxels [p, p+512), a res-1 block owns [p, p+64) (same carving as the
+reference's heap_low sub-block ids, voxel_data_structures.cu:859-871).
+
+Voxel fields mirror struct Voxel (voxel_hash_utils.cuh:8-22): sdf f32,
+sum_squared f32, rgb u8x3, weight u8 — weight is carried as int32 with the
+255 cap applied at merge time (params.h:24).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mrhash_tpu import params as P
+from mrhash_tpu.ops import hashtable as H
+
+
+@struct.dataclass
+class VoxelPool:
+    sdf: jax.Array     # f32[NV]
+    sumsq: jax.Array   # f32[NV]
+    weight: jax.Array  # i32[NV] (u8 semantics)
+    rgb: jax.Array     # u8[NV,3]
+
+    @property
+    def num_voxels(self) -> int:
+        return self.sdf.shape[0]
+
+
+def make_pool(num_blocks: int) -> VoxelPool:
+    nv = num_blocks * P.TOTAL_SDF_BLOCK_SIZE
+    return VoxelPool(
+        sdf=jnp.zeros((nv,), jnp.float32),
+        sumsq=jnp.zeros((nv,), jnp.float32),
+        weight=jnp.zeros((nv,), jnp.int32),
+        rgb=jnp.zeros((nv, 3), jnp.uint8),
+    )
+
+
+@struct.dataclass
+class MapState:
+    table: H.HashTable
+    pool: VoxelPool
+    frame: jax.Array  # i32[] — num_integrated_frames_
+
+
+def make_state(num_blocks: int, num_buckets: int | None = None) -> MapState:
+    return MapState(table=H.make_table(num_blocks, num_buckets),
+                    pool=make_pool(num_blocks),
+                    frame=jnp.int32(0))
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Static (trace-time) configuration.  Mirrors the GeoWrapper ctor args
+    (mrhash/src/sdf/geowrapper.cpp:9-81) plus TPU capacity knobs."""
+    virtual_voxel_size: float = 0.05
+    voxel_extents: tuple = (1.0, 1.0, 1.0)   # metric chunk scale (streamer)
+    sdf_truncation: float = 0.1
+    sdf_truncation_scale: float = 0.0
+    integration_weight_sample: int = 1
+    integration_weight_max: int = P.INTEGRATION_WEIGHT_MAX
+    max_integration_distance: float = 30.0
+    n_frames_invalidate_voxels: int = 0      # 0 = garbage collection off
+    sdf_var_threshold: float = 0.0           # 0 = single-resolution
+    min_weight_threshold: int = 1
+    marching_cubes_threshold: float = 1.5
+    vertices_merging_threshold: float = 0.0
+    projective_sdf: bool = True
+
+    # --- TPU capacity knobs (static shapes) --------------------------------
+    num_blocks: int = 1 << 17
+    num_buckets: int = 0                     # 0 -> num_blocks
+    max_active_blocks: int = 1 << 16         # compacted block window
+    max_alloc_per_frame: int = 1 << 14       # unique new blocks per frame
+    dedup_scratch_factor: int = 8            # scratch cells per alloc slot
+    dda_extra_steps: int = 3
+    max_coarsen_per_frame: int = 1 << 12     # variance-merge queue
+    low_split_chunk: int = 1 << 10           # high blocks split per refill
+
+    @property
+    def metric_block_size(self) -> float:
+        return P.SDF_BLOCK_SIZE * self.virtual_voxel_size
+
+    def dda_steps(self, max_depth: float) -> int:
+        """Static DDA trip count covering the truncation band (the reference
+        bounds a while-loop by max_dda_iteration_count; our band length is
+        known at trace time): ceil(band_diag / metric_block) + slack."""
+        t = self.sdf_truncation + self.sdf_truncation_scale * max_depth
+        band = 2.0 * t * (3.0 ** 0.5)
+        return int(band / self.metric_block_size + 0.999) + self.dda_extra_steps
+
+    def dda_voxel_steps(self, max_depth: float) -> int:
+        """Voxel-level trip count for integrate3D's per-voxel walk."""
+        t = self.sdf_truncation + self.sdf_truncation_scale * max_depth
+        band = 2.0 * t * (3.0 ** 0.5)
+        return (int(band / self.virtual_voxel_size + 0.999)
+                + self.dda_extra_steps)

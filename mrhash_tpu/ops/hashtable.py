@@ -1,0 +1,267 @@
+"""Static-capacity spatial hash table with batched, atomic-free operations.
+
+TPU-native replacement for the reference's GPU hash
+(mrhash/src/sdf/voxel_data_structures.{cuh,cu}): buckets of HASH_BUCKET_SIZE
+slots with per-bucket spinlocks and cross-bucket linked lists become a flat
+SoA table probed with a fixed, fully-vectorized probe sequence of
+NUM_PROBES slots (bucket slots + deterministic linear overflow).  Because
+lookups always scan the whole probe window (no early exit in SIMD), deletion
+needs no tombstones or linked-list surgery, and insertion is a deterministic
+batched algorithm (scatter-argmin conflict resolution over probe rounds +
+prefix-sum heap draws) instead of the reference's atomicExch retry loops
+(voxel_data_structures.cu:501-755, 901-921).
+
+Table arrays (a HashTable pytree):
+  pos:  int32[C,3]  block coordinates of the slot's entry
+  ptr:  int32[C]    base voxel index into the flat pool, FREE_ENTRY if free
+  res:  int32[C]    block resolution: 0 = 8^3 fine, 1 = 4^3 coarse
+  heap_high: int32[N]  free-list of res-0 block ids;  free count = high_count
+  heap_low:  int32[8N] free-list of res-1 block ids;  free count = low_count
+
+ptr semantics match the reference (entry.ptr = block_id * block_volume into
+one flat voxel pool; res-1 blocks are carved 8-per-high-block so low block id
+l occupies voxels [l*64, l*64+64) — voxel_data_structures.cu:859-871).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mrhash_tpu import params as P
+
+FREE = P.FREE_ENTRY
+
+
+@struct.dataclass
+class HashTable:
+    pos: jax.Array        # int32[C,3]
+    ptr: jax.Array        # int32[C]
+    res: jax.Array        # int32[C]
+    heap_high: jax.Array  # int32[N]
+    heap_low: jax.Array   # int32[8N]
+    high_count: jax.Array  # int32[] number of free high blocks
+    low_count: jax.Array   # int32[] number of free low blocks
+    num_buckets: int = struct.field(pytree_node=False, default=0)
+    num_blocks: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def capacity(self) -> int:
+        return self.num_buckets * P.HASH_BUCKET_SIZE
+
+
+def make_table(num_blocks: int, num_buckets: int | None = None) -> HashTable:
+    """Mirror of VoxelContainer buffer init (voxel_data_structures.cpp:57-87):
+    heap_high holds ids N-1..0 (descending), heap_low starts empty/invalid."""
+    if num_buckets is None:
+        num_buckets = num_blocks
+    C = num_buckets * P.HASH_BUCKET_SIZE
+    n_low = num_blocks * P.OCTREE_BRANCHING_FACTOR
+    return HashTable(
+        pos=jnp.zeros((C, 3), jnp.int32),
+        ptr=jnp.full((C,), FREE, jnp.int32),
+        res=jnp.zeros((C,), jnp.int32),
+        heap_high=jnp.arange(num_blocks - 1, -1, -1, dtype=jnp.int32),
+        heap_low=jnp.full((n_low,), n_low, jnp.int32),
+        high_count=jnp.int32(num_blocks),
+        low_count=jnp.int32(0),
+        num_buckets=int(num_buckets),
+        num_blocks=int(num_blocks),
+    )
+
+
+def calculate_hash(block_pos, num_buckets):
+    """voxel_data_structures.cu:150-160 — xor of prime-multiplied coords.
+
+    uint32 wrap-around multiplication, then mod bucket count."""
+    x = block_pos[..., 0].astype(jnp.uint32)
+    y = block_pos[..., 1].astype(jnp.uint32)
+    z = block_pos[..., 2].astype(jnp.uint32)
+    h = (x * jnp.uint32(P.P0)) ^ (y * jnp.uint32(P.P1)) ^ (z * jnp.uint32(P.P2))
+    return (h % jnp.uint32(num_buckets)).astype(jnp.int32)
+
+
+def probe_slots(bucket, capacity):
+    """The NUM_PROBES-slot probe window of a bucket: its HASH_BUCKET_SIZE
+    primary slots followed by LINKED_LIST_SIZE linear-overflow slots (the
+    deterministic stand-in for the reference's collision linked list)."""
+    base = bucket.astype(jnp.int32) * P.HASH_BUCKET_SIZE
+    offs = jnp.arange(P.NUM_PROBES, dtype=jnp.int32)
+    return (base[..., None] + offs) % capacity
+
+
+def lookup(table: HashTable, keys, valid=None):
+    """Vectorized getHashEntry (voxel_data_structures.cu:79-127).
+
+    keys: int32[M,3].  Returns (found[M] bool, slot[M], ptr[M], res[M]);
+    slot/ptr/res are meaningful only where found."""
+    C = table.capacity
+    bucket = calculate_hash(keys, table.num_buckets)
+    slots = probe_slots(bucket, C)                        # [M, NP]
+    cand_pos = table.pos[slots]                           # [M, NP, 3]
+    cand_ptr = table.ptr[slots]                           # [M, NP]
+    match = (cand_ptr != FREE) & jnp.all(cand_pos == keys[..., None, :], axis=-1)
+    found = jnp.any(match, axis=-1)
+    first = jnp.argmax(match, axis=-1)
+    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    if valid is not None:
+        found = found & valid
+    ptr = jnp.where(found, table.ptr[slot], FREE)
+    res = jnp.where(found, table.res[slot], 0)
+    slot = jnp.where(found, slot, -1)
+    return found, slot, ptr, res
+
+
+def _heap_draw(heap, count, want_mask):
+    """Draw one free id per True in want_mask (prefix-sum ranked).
+
+    Returns (ids[M], got[M], heap_count'). ids valid only where got."""
+    rank = jnp.cumsum(want_mask.astype(jnp.int32)) - 1          # [M]
+    got = want_mask & (rank < count)
+    idx = jnp.clip(count - 1 - rank, 0, heap.shape[0] - 1)
+    ids = jnp.where(got, heap[idx], -1)
+    taken = jnp.sum(got.astype(jnp.int32))
+    return ids, got, count - taken
+
+
+def _heap_push(heap, count, ids, mask):
+    """Return freed ids to a heap (prefix-sum ranked scatter)."""
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, count + rank, heap.shape[0])  # OOB => dropped
+    heap = heap.at[dest].set(ids, mode="drop")
+    return heap, count + jnp.sum(mask.astype(jnp.int32))
+
+
+def insert(table: HashTable, keys, valid, res):
+    """Batched allocBlock (voxel_data_structures.cu:501-755), atomic-free.
+
+    keys:[U,3] int32, valid:[U] bool, res:[U] int32 (0 or 1).  Keys must be
+    deduplicated by the caller (see integrate.dedup_candidates).  For each
+    valid key not already in the table: claim a free slot in its probe window
+    (conflicts between keys resolved by scatter-argmax over probe rounds) and
+    draw a block from the matching heap.  Keys whose probe window is full or
+    whose heap is dry are dropped, exactly like the reference's staggered
+    "fast version" allocator (voxel_data_structures.cu:876, 566-569).
+
+    Returns (table', info) with info slots/ptrs for all keys (existing or
+    newly inserted), and was_new mask.
+    """
+    U = keys.shape[0]
+    C = table.capacity
+    found, slotF, ptrF, resF = lookup(table, keys, valid)
+    pending0 = valid & ~found
+
+    bucket = calculate_hash(keys, table.num_buckets)
+    slots_all = probe_slots(bucket, C)  # [U, NP]
+    arange_u = jnp.arange(U, dtype=jnp.int32)
+
+    def round_body(j, carry):
+        occupied, assigned_slot, pending = carry
+        slot_j = slots_all[:, j]                              # [U]
+        free_j = ~occupied[slot_j]
+        want = pending & free_j
+        # conflict resolution: highest key index proposing a slot wins
+        prop = jnp.full((C,), -1, jnp.int32).at[
+            jnp.where(want, slot_j, C)].max(arange_u, mode="drop")
+        winner = want & (prop[slot_j] == arange_u)
+        occupied = occupied.at[jnp.where(winner, slot_j, C)].set(
+            True, mode="drop")
+        assigned_slot = jnp.where(winner, slot_j, assigned_slot)
+        pending = pending & ~winner
+        return occupied, assigned_slot, pending
+
+    occupied0 = table.ptr != FREE
+    assigned0 = jnp.full((U,), -1, jnp.int32)
+    occupied, assigned_slot, _ = jax.lax.fori_loop(
+        0, P.NUM_PROBES, round_body, (occupied0, assigned0, pending0))
+    got_slot = assigned_slot >= 0
+
+    # heap draws per resolution
+    want_high = got_slot & (res == 0)
+    want_low = got_slot & (res == 1)
+    ids_h, got_h, high_count = _heap_draw(table.heap_high, table.high_count,
+                                          want_high)
+    ids_l, got_l, low_count = _heap_draw(table.heap_low, table.low_count,
+                                         want_low)
+    new = got_h | got_l
+    new_ptr = jnp.where(got_h, ids_h * P.TOTAL_SDF_BLOCK_SIZE,
+                        ids_l * P.TOTAL_LOW_BLOCK_SIZE)
+
+    # write entries for successful inserts only
+    dest = jnp.where(new, assigned_slot, C)
+    pos_arr = table.pos.at[dest].set(keys, mode="drop")
+    ptr_arr = table.ptr.at[dest].set(new_ptr, mode="drop")
+    res_arr = table.res.at[dest].set(res, mode="drop")
+
+    out_slot = jnp.where(found, slotF, jnp.where(new, assigned_slot, -1))
+    out_ptr = jnp.where(found, ptrF, jnp.where(new, new_ptr, FREE))
+    out_res = jnp.where(found, resF, res)
+
+    table = table.replace(pos=pos_arr, ptr=ptr_arr, res=res_arr,
+                          heap_high=table.heap_high, heap_low=table.heap_low,
+                          high_count=high_count, low_count=low_count)
+    info = dict(slot=out_slot, ptr=out_ptr, res=out_res, was_new=new,
+                present=found | new)
+    return table, info
+
+
+def free_slots(table: HashTable, slots, mask):
+    """Batched deleteHashEntryElement + heap return
+    (voxel_data_structures.cu:1726-1824): clear entries at `slots` (where
+    mask) and push their block ids back on the matching heap.  No list
+    repair is needed — lookups scan the full probe window.
+
+    Returns (table', ptrs, res, mask) so the caller can zero the voxel pool.
+    """
+    C = table.capacity
+    slots_c = jnp.where(mask, slots, 0)
+    ptrs = table.ptr[slots_c]
+    res = table.res[slots_c]
+    mask = mask & (ptrs != FREE)
+
+    is_high = mask & (res == 0)
+    is_low = mask & (res == 1)
+    hh, hc = _heap_push(table.heap_high, table.high_count,
+                        ptrs // P.TOTAL_SDF_BLOCK_SIZE, is_high)
+    hl, lc = _heap_push(table.heap_low, table.low_count,
+                        ptrs // P.TOTAL_LOW_BLOCK_SIZE, is_low)
+
+    dest = jnp.where(mask, slots, C)
+    ptr_arr = table.ptr.at[dest].set(FREE, mode="drop")
+    pos_arr = table.pos.at[dest].set(0, mode="drop")
+    res_arr = table.res.at[dest].set(0, mode="drop")
+    table = table.replace(pos=pos_arr, ptr=ptr_arr, res=res_arr,
+                          heap_high=hh, heap_low=hl,
+                          high_count=hc, low_count=lc)
+    return table, ptrs, res, mask
+
+
+def split_high_blocks(table: HashTable, n_split: int):
+    """allocateMemoryLow (voxel_data_structures.cu:859-871): pop n_split
+    res-0 blocks from the high heap and push their 8 sub-block ids each onto
+    the low heap.  n_split is static."""
+    want = jnp.arange(n_split) < jnp.minimum(n_split, table.high_count)
+    ids, got, high_count = _heap_draw(table.heap_high, table.high_count, want)
+    sub = (ids[:, None] * P.OCTREE_BRANCHING_FACTOR
+           + jnp.arange(P.OCTREE_BRANCHING_FACTOR, dtype=jnp.int32)).reshape(-1)
+    sub_mask = jnp.repeat(got, P.OCTREE_BRANCHING_FACTOR)
+    hl, lc = _heap_push(table.heap_low, table.low_count, sub, sub_mask)
+    return table.replace(heap_high=table.heap_high, high_count=high_count,
+                         heap_low=hl, low_count=lc)
+
+
+def compact(table: HashTable, extra_mask=None, max_active: int = 0):
+    """flatAndReduceHashTable (voxel_data_structures.cu:405-499) as one
+    cumsum: gather the table slots of occupied (optionally frustum-filtered)
+    entries into a fixed [max_active] index buffer + count.
+
+    Returns (slots[max_active] int32 (=-1 padding), count int32)."""
+    mask = table.ptr != FREE
+    if extra_mask is not None:
+        mask = mask & extra_mask
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (rank < max_active), rank, max_active)
+    slots = jnp.full((max_active,), -1, jnp.int32).at[dest].set(
+        jnp.arange(table.capacity, dtype=jnp.int32), mode="drop")
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), max_active)
+    return slots, count

@@ -1,0 +1,542 @@
+"""TSDF allocation + integration + garbage collection + variance coarsening.
+
+TPU-native re-derivation of the reference's CUDA kernels
+(mrhash/src/sdf/voxel_data_structures.cu): per-pixel DDA allocation becomes a
+vectorized lax.scan over a static step count; the bucket-mutex allocator
+becomes salted scatter-dedup + batched insert (ops/hashtable.py); per-voxel
+integration is a gather -> fused elementwise -> unique-scatter over the
+compacted block window; the GC z-buffer is two scatter-min passes; the
+variance merge is a lane reduction + batched realloc.
+
+Everything is shape-static and jit-compilable; dynamic counts ride in scalar
+int32s with masking.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mrhash_tpu import params as P
+from mrhash_tpu.core.state import MapConfig, MapState, VoxelPool
+from mrhash_tpu.ops import camera as C
+from mrhash_tpu.ops import coords as X
+from mrhash_tpu.ops import hashtable as H
+
+INF = jnp.float32(jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# frustum culling
+# ---------------------------------------------------------------------------
+
+def blocks_in_frustum_approx(cam: C.Camera, block_pos, vvs):
+    """isSDFBlockInCameraFrustumApprox (voxel_data_structures.cu:66-78):
+    any of the block's 8 corner voxels inside the padded frustum."""
+    base = X.sdf_block_to_virtual_voxel_pos(block_pos)         # [...,3]
+    corner = jnp.asarray(
+        [[0, 0, 0], [0, 0, 7], [0, 7, 0], [0, 7, 7],
+         [7, 0, 0], [7, 0, 7], [7, 7, 0], [7, 7, 7]], jnp.int32)
+    pw = X.virtual_voxel_pos_to_world(vvs, base[..., None, :] + corner)
+    return jnp.any(C.is_in_camera_frustum_approx(cam, pw), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# DDA candidate generation
+# ---------------------------------------------------------------------------
+
+def _dda_visit(cfg: MapConfig, cam: C.Camera, pw_min, pw_max, ray_valid,
+               num_steps: int, block_level: bool = True):
+    """Shared DDA core of allocBlocks{,3D}Kernel and integrate3DKernel
+    (voxel_data_structures.cu:790-857, 963-1033, 1259-1303): walk the block
+    grid (block_level) or the virtual-voxel grid from pw_min to pw_max,
+    emitting every visited cell.
+
+    pw_min/pw_max: f32[R,3] world endpoints.  Returns (cells i32[K,R,3],
+    visit_mask bool[K,R])."""
+    vvs = cfg.virtual_voxel_size
+    ext = jnp.asarray(cfg.voxel_extents, jnp.float32)
+
+    seg = pw_max - pw_min
+    seg_len = jnp.linalg.norm(seg, axis=-1, keepdims=True)
+    direction = seg / jnp.where(seg_len == 0, 1.0, seg_len)
+
+    step = jnp.sign(direction)
+    step_i = jnp.clip(step, 0.0, 1.0).astype(jnp.int32)
+    if block_level:
+        id_cur = X.world_point_to_sdf_block(vvs, ext, pw_min)
+        id_end = X.world_point_to_sdf_block(vvs, ext, pw_max)
+        boundary = X.sdf_block_to_world_point(vvs, id_cur + step_i) - 0.5 * vvs
+        cell_metric = P.SDF_BLOCK_SIZE * vvs
+    else:
+        id_cur = X.world_point_to_virtual_voxel_pos(vvs, pw_min)
+        id_end = X.world_point_to_virtual_voxel_pos(vvs, pw_max)
+        boundary = X.virtual_voxel_pos_to_world(vvs, id_cur + step_i) - 0.5 * vvs
+        cell_metric = vvs
+    safe_dir = jnp.where(direction == 0, 1.0, direction)
+    t_max = (boundary - pw_min) / safe_dir
+    t_delta = (step * cell_metric) / safe_dir
+    degenerate = (jnp.abs(direction) < P.FLOAT_EPSILON) | (
+        jnp.abs(boundary - direction) < P.FLOAT_EPSILON)
+    t_max = jnp.where(degenerate, INF, t_max)
+    t_delta = jnp.where(degenerate, INF, t_delta)
+    id_bound = (id_end.astype(jnp.float32) + step).astype(jnp.int32)
+
+    def body(carry, _):
+        id_cur, t_max, alive = carry
+        emit_blocks = id_cur
+        emit_mask = alive
+        tx, ty, tz = t_max[..., 0], t_max[..., 1], t_max[..., 2]
+        ax_x = (tx < ty) & (tx < tz)
+        ax_z = ~ax_x & (tz < ty)
+        ax_y = ~ax_x & ~ax_z
+        axis = jnp.stack([ax_x, ax_y, ax_z], axis=-1)
+        id_next = jnp.where(axis, id_cur + step.astype(jnp.int32), id_cur)
+        hit_bound = jnp.any(axis & (id_next == id_bound), axis=-1)
+        t_next = jnp.where(axis, t_max + t_delta, t_max)
+        alive = alive & ~hit_bound
+        return (id_next, t_next, alive), (emit_blocks, emit_mask)
+
+    (_, _, _), (blocks, mask) = jax.lax.scan(
+        body, (id_cur, t_max, ray_valid), None, length=num_steps)
+    return blocks, mask
+
+
+def alloc_candidates_depth(cfg: MapConfig, cam: C.Camera, pc_depth,
+                           num_steps: int):
+    """allocBlocksKernel (voxel_data_structures.cu:757-857): per-pixel ray
+    through the truncation band [d-t, d+t], frustum-filtered.
+
+    pc_depth: f32[H,W] per-pixel depth (z for pinhole, range for spherical).
+    Returns flat candidate keys [K*H*W, 3] + valid mask."""
+    H_, W_ = pc_depth.shape
+    depth = pc_depth.reshape(-1)
+    rows = (jnp.arange(H_ * W_, dtype=jnp.int32) // W_).astype(jnp.float32)
+    cols = (jnp.arange(H_ * W_, dtype=jnp.int32) % W_).astype(jnp.float32)
+
+    t = X.get_truncation(depth, cfg.sdf_truncation, cfg.sdf_truncation_scale)
+    d_min = jnp.minimum(cfg.max_integration_distance, depth - t)
+    d_max = jnp.minimum(cfg.max_integration_distance, depth + t)
+    ray_valid = (depth != 0.0) & (d_min < d_max)
+
+    pw_min = C.cam_to_world(cam, C.inverse_projection(cam, rows, cols, d_min))
+    pw_max = C.cam_to_world(cam, C.inverse_projection(cam, rows, cols, d_max))
+    blocks, mask = _dda_visit(cfg, cam, pw_min, pw_max, ray_valid, num_steps)
+    mask = mask & blocks_in_frustum_approx(cam, blocks,
+                                           cfg.virtual_voxel_size)
+    return blocks.reshape(-1, 3), mask.reshape(-1)
+
+
+def alloc_candidates_points(cfg: MapConfig, cam: C.Camera, points, normals,
+                            point_valid, num_steps: int):
+    """allocBlocks3DKernel (voxel_data_structures.cu:924-1033): per-LiDAR-
+    point DDA along the camera ray (projective) or the normal direction.
+
+    points: f32[N,3] camera-frame points; normals: f32[N,3] (unit or zero).
+    No frustum filter (matches the 3D kernel)."""
+    rng = jnp.linalg.norm(points, axis=-1)
+    safe = jnp.where(rng == 0, 1.0, rng)[..., None]
+    cam_dir = points / safe
+    nrm = jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    norm_dir = normals / jnp.where(nrm == 0, 1.0, nrm)
+    t = X.get_truncation(rng, cfg.sdf_truncation, cfg.sdf_truncation_scale)
+    d_min = jnp.minimum(cfg.max_integration_distance, rng - t)
+    d_max = jnp.minimum(cfg.max_integration_distance, rng + t)
+    ray_valid = point_valid & (rng != 0.0) & (d_min < d_max)
+
+    walk_dir = cam_dir if cfg.projective_sdf else norm_dir
+    pc_min = points + walk_dir * (d_min - rng)[..., None]
+    pc_max = points + walk_dir * (d_max - rng)[..., None]
+    pw_min = C.cam_to_world(cam, pc_min)
+    pw_max = C.cam_to_world(cam, pc_max)
+    blocks, mask = _dda_visit(cfg, cam, pw_min, pw_max, ray_valid, num_steps)
+    return blocks.reshape(-1, 3), mask.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# candidate dedup (replaces bucket-mutex conflict handling)
+# ---------------------------------------------------------------------------
+
+_SALT0 = jnp.uint32(2654435761)  # Knuth multiplicative constants
+_SALT1 = jnp.uint32(40503)
+
+
+def dedup_candidates(keys, valid, frame_salt, scratch_size: int, u_max: int):
+    """Pick one representative per distinct block key via salted scatter.
+
+    Two distinct keys hashing to the same scratch cell lose one candidate
+    this frame; the per-frame salt rotates losers so allocation converges —
+    the same staggered semantics as the reference's lock-miss retry
+    ("does not guarantee that all blocks are allocated",
+    voxel_data_structures.cu:876).  Returns ([u_max,3] keys, [u_max] valid).
+    """
+    M = keys.shape[0]
+    x = keys[..., 0].astype(jnp.uint32)
+    y = keys[..., 1].astype(jnp.uint32)
+    z = keys[..., 2].astype(jnp.uint32)
+    salt = frame_salt.astype(jnp.uint32) * _SALT1 + jnp.uint32(1)
+    h = ((x * jnp.uint32(P.P1)) ^ (y * jnp.uint32(P.P2))
+         ^ (z * jnp.uint32(P.P0)) ^ (salt * _SALT0))
+    cell = (h % jnp.uint32(scratch_size)).astype(jnp.int32)
+
+    idx = jnp.arange(M, dtype=jnp.int32)
+    scratch = jnp.full((scratch_size,), -1, jnp.int32).at[
+        jnp.where(valid, cell, scratch_size)].max(idx, mode="drop")
+    rep = valid & (scratch[cell] == idx)
+
+    rank = jnp.cumsum(rep.astype(jnp.int32)) - 1
+    dest = jnp.where(rep & (rank < u_max), rank, u_max)
+    ukeys = jnp.zeros((u_max, 3), jnp.int32).at[dest].set(keys, mode="drop")
+    uvalid = jnp.zeros((u_max,), bool).at[dest].set(True, mode="drop")
+    return ukeys, uvalid
+
+
+def alloc_blocks(cfg: MapConfig, table: H.HashTable, keys, valid, frame):
+    """allocBlocks host wrapper (voxel_data_structures.cu:873-922) minus the
+    fixed-point retry loop (our batched insert is complete in one pass)."""
+    ukeys, uvalid = dedup_candidates(
+        keys, valid, frame,
+        cfg.max_alloc_per_frame * cfg.dedup_scratch_factor,
+        cfg.max_alloc_per_frame)
+    table, _ = H.insert(table, ukeys, uvalid,
+                        jnp.zeros((cfg.max_alloc_per_frame,), jnp.int32))
+    return table
+
+
+# ---------------------------------------------------------------------------
+# compacted block window
+# ---------------------------------------------------------------------------
+
+def compact_active(cfg: MapConfig, table: H.HashTable, cam: C.Camera = None):
+    """flatAndReduceHashTable (voxel_data_structures.cu:405-499).
+
+    Returns (slots[A], count, bpos[A,3], bptr[A], bres[A], bvalid[A])."""
+    extra = None
+    if cam is not None:
+        extra = blocks_in_frustum_approx(cam, table.pos,
+                                         cfg.virtual_voxel_size)
+    slots, count = H.compact(table, extra, cfg.max_active_blocks)
+    bvalid = slots >= 0
+    safe = jnp.where(bvalid, slots, 0)
+    return slots, count, table.pos[safe], table.ptr[safe], table.res[safe], bvalid
+
+
+def _block_voxel_grid(bpos, bres):
+    """Virtual-voxel coords + lane validity for each lane of each block.
+
+    Mirrors the scaling_factor * delinearize(idx, 8/scaling) layout of
+    integrateDepthMapKernel (voxel_data_structures.cu:1114-1118), with the
+    dense res-1 indexing fix (see ops/coords.py).
+    Returns (pi i32[A,512,3], lane_valid bool[A,512])."""
+    lanes = jnp.arange(P.TOTAL_SDF_BLOCK_SIZE, dtype=jnp.int32)
+    local8 = X.delinearize_voxel_pos(lanes, P.SDF_BLOCK_SIZE)       # [512,3]
+    local4 = X.delinearize_voxel_pos(lanes, P.LOW_BLOCK_SIZE) * 2   # [512,3]
+    is_low = (bres == 1)[:, None]
+    offs = jnp.where(is_low[..., None], local4[None], local8[None])
+    pi = X.sdf_block_to_virtual_voxel_pos(bpos)[:, None, :] + offs
+    lane_valid = jnp.where(is_low, lanes < P.TOTAL_LOW_BLOCK_SIZE, True)
+    return pi, lane_valid
+
+
+def _sample_image(img_flat, rows, cols, W, ok):
+    flat = jnp.where(ok, rows * W + cols, 0)
+    return img_flat[flat]
+
+
+def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
+                    pc_depth, rgb_img, bpos, bptr, bres, bvalid):
+    """integrateDepthMapKernel (voxel_data_structures.cu:1094-1181): project
+    every voxel of every compacted block into the frame, fuse SDF + color,
+    accumulate Welford-style variance in sum_squared.
+
+    The reference's benign read-modify-write race on sum_squared becomes an
+    exact sequential update (one program per voxel)."""
+    vvs = cfg.virtual_voxel_size
+    A = bpos.shape[0]
+    pi, lane_valid = _block_voxel_grid(bpos, bres)          # [A,512,...]
+    pf = X.virtual_voxel_pos_to_world(vvs, pi)
+    pcam = C.world_to_cam(cam, pf)
+    row, col, ok = C.project_point(cam, pcam)
+
+    W_ = pc_depth.shape[1]
+    depth = _sample_image(pc_depth.reshape(-1), row, col, W_, ok)
+    rgb_new = _sample_image(rgb_img.reshape(-1, 3), row, col, W_, ok)
+
+    depth_ok = ok & (depth != 0.0) & (depth <= cfg.max_integration_distance)
+    sdf = depth - C.get_depth(cam, pcam)
+    trunc = X.get_truncation(depth, cfg.sdf_truncation,
+                             cfg.sdf_truncation_scale)
+    inside = sdf > -trunc
+    sdf = jnp.clip(sdf, -trunc, trunc)
+
+    update = bvalid[:, None] & lane_valid & depth_ok & inside
+
+    vidx = bptr[:, None] + jnp.arange(P.TOTAL_SDF_BLOCK_SIZE,
+                                      dtype=jnp.int32)[None, :]
+    vidx_safe = jnp.where(bvalid[:, None], vidx, pool.num_voxels - 1)
+    sdf0 = pool.sdf[vidx_safe]
+    w0 = pool.weight[vidx_safe]
+    ssq0 = pool.sumsq[vidx_safe]
+    rgb0 = pool.rgb[vidx_safe]
+
+    # Welford accumulation (voxel_data_structures.cu:1162-1180); deltas are
+    # normalized by half a voxel.
+    half_voxel = jnp.float32(vvs / 2.0)
+    curr_mean = jnp.where(w0 > 0, sdf0, sdf)
+    delta = (sdf - curr_mean) / half_voxel
+
+    rgb0_eff = jnp.where((w0 == 0)[..., None], rgb_new, rgb0)
+    w_new = jnp.full_like(w0, cfg.integration_weight_sample)
+    m_sdf, m_w, m_rgb = X.combine_voxel(
+        sdf0, w0, rgb0_eff, sdf, w_new, rgb_new, cfg.integration_weight_max)
+    delta2 = (sdf - m_sdf) / half_voxel
+    m_ssq = ssq0 + delta * delta2
+
+    out_sdf = jnp.where(update, m_sdf, sdf0)
+    out_w = jnp.where(update, m_w, w0)
+    out_ssq = jnp.where(update, m_ssq, ssq0)
+    out_rgb = jnp.where(update[..., None], m_rgb, rgb0)
+
+    dest = jnp.where(bvalid[:, None], vidx, pool.num_voxels).reshape(-1)
+    return pool.replace(
+        sdf=pool.sdf.at[dest].set(out_sdf.reshape(-1), mode="drop"),
+        weight=pool.weight.at[dest].set(out_w.reshape(-1), mode="drop"),
+        sumsq=pool.sumsq.at[dest].set(out_ssq.reshape(-1), mode="drop"),
+        rgb=pool.rgb.at[dest].set(out_rgb.reshape(-1, 3), mode="drop"))
+
+
+def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
+                         cam: C.Camera, points, normals, weights,
+                         point_valid, num_steps: int):
+    """integrate3DKernel (voxel_data_structures.cu:1214-1401): per-point DDA
+    over the *voxel* grid in the truncation band; each visited allocated
+    voxel gets a projective (range difference) or point-to-plane SDF update.
+
+    Conflicts (several points hitting one voxel) are a benign race in the
+    reference (:1344-1357); here contributions are aggregated per voxel with
+    weighted segment sums before a single merge — deterministic and
+    conflict-free (documented deviation, DESIGN.md).
+
+    `weights` are accepted for API parity; like the reference (:1330-1338,
+    adaptive weighting commented out) they do not affect the update.
+    """
+    vvs = cfg.virtual_voxel_size
+    rng = jnp.linalg.norm(points, axis=-1)
+    safe = jnp.where(rng == 0, 1.0, rng)[..., None]
+    cam_dir = points / safe
+    nn = jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    norm_dir = normals / jnp.where(nn == 0, 1.0, nn)
+    trunc = X.get_truncation(rng, cfg.sdf_truncation, cfg.sdf_truncation_scale)
+    d_min = jnp.minimum(cfg.max_integration_distance, rng - trunc)
+    d_max = jnp.minimum(cfg.max_integration_distance, rng + trunc)
+    ray_valid = (point_valid & (rng >= 1e-6)
+                 & (rng <= cfg.max_integration_distance) & (d_min < d_max))
+
+    if cfg.projective_sdf:
+        pc_min = points - cam_dir * trunc[..., None]
+        pc_max = points + cam_dir * trunc[..., None]
+    else:
+        pc_min = points + norm_dir * (d_min - rng)[..., None]
+        pc_max = points + norm_dir * (d_max - rng)[..., None]
+    pw_min = C.cam_to_world(cam, pc_min)
+    pw_max = C.cam_to_world(cam, pc_max)
+
+    vox, visit = _dda_visit(cfg, cam, pw_min, pw_max, ray_valid, num_steps,
+                            block_level=False)              # [K,N,3],[K,N]
+
+    # hash lookup per visited voxel
+    blk = X.virtual_voxel_pos_to_sdf_block(
+        vox, vvs, jnp.asarray(cfg.voxel_extents, jnp.float32))
+    found, _, eptr, eres = H.lookup(table, blk.reshape(-1, 3),
+                                    visit.reshape(-1))
+    found = found.reshape(visit.shape)
+    eptr = eptr.reshape(visit.shape)
+    eres = eres.reshape(visit.shape)
+
+    # per-contribution SDF (snapped to the voxel's resolution center,
+    # voxel_data_structures.cu:1309-1321)
+    scale = (1 << eres).astype(jnp.int32)
+    # voxel_pos_aprox = vox / scale, then * getVoxelSize(entry) = vvs*scale
+    vox_scaled = vox // scale[..., None]
+    voxel_world = vox_scaled.astype(jnp.float32) * (
+        vvs * scale[..., None].astype(jnp.float32))
+    voxel_cam = C.world_to_cam(cam, voxel_world)
+    voxel_range = jnp.linalg.norm(voxel_cam, axis=-1)
+    if cfg.projective_sdf:
+        sdf = rng[None, :] - voxel_range
+    else:
+        sdf = jnp.sum((voxel_cam - points[None]) * norm_dir[None], axis=-1)
+    inside = sdf > -trunc[None, :]
+    sdf = jnp.clip(sdf, -trunc[None, :], trunc[None, :])
+    # `break` on sdf <= -trunc kills the rest of the walk for that ray
+    alive = jnp.cumprod(jnp.where(found, inside, True).astype(jnp.int32),
+                        axis=0).astype(bool)
+    contrib = visit & found & inside & alive
+
+    # dense per-resolution local index (block side = 8 >> res)
+    local = jnp.mod(vox, P.SDF_BLOCK_SIZE) // scale[..., None]
+    side = P.SDF_BLOCK_SIZE // scale
+    lane = (local[..., 2] * side * side + local[..., 1] * side
+            + local[..., 0])
+    vidx = eptr + lane
+
+    w_up = jnp.float32(cfg.integration_weight_sample)
+    flat_idx = jnp.where(contrib, vidx, pool.num_voxels).reshape(-1)
+    nv = pool.num_voxels
+    acc_w = jnp.zeros((nv,), jnp.float32).at[flat_idx].add(
+        jnp.where(contrib, w_up, 0.0).reshape(-1), mode="drop")
+    acc_sw = jnp.zeros((nv,), jnp.float32).at[flat_idx].add(
+        jnp.where(contrib, sdf * w_up, 0.0).reshape(-1), mode="drop")
+
+    hit = acc_w > 0
+    batch_sdf = acc_sw / jnp.where(hit, acc_w, 1.0)
+    w0 = pool.weight
+    sdf0 = pool.sdf
+    half_voxel = jnp.float32(vvs / 2.0)
+    # 3D kernel quirk kept: curr_mean stays 0 for never-touched voxels
+    curr_mean = jnp.where(w0 > 0, sdf0, 0.0)
+    delta = (batch_sdf - curr_mean) / half_voxel
+    w0f = w0.astype(jnp.float32)
+    m_sdf = (sdf0 * w0f + acc_sw) / (w0f + acc_w)
+    m_w = jnp.minimum(cfg.integration_weight_max,
+                      w0 + acc_w.astype(jnp.int32))
+    delta2 = (batch_sdf - m_sdf) / half_voxel
+    return pool.replace(
+        sdf=jnp.where(hit, m_sdf, sdf0),
+        weight=jnp.where(hit, m_w, w0),
+        sumsq=jnp.where(hit, pool.sumsq + delta * delta2, pool.sumsq))
+
+
+# ---------------------------------------------------------------------------
+# garbage collection
+# ---------------------------------------------------------------------------
+
+def starve_voxels(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
+                  bpos, bptr, bres, bvalid):
+    """starveVoxelsKernel two-pass z-buffer (voxel_data_structures.cu:
+    1596-1671): the front-most voxel per pixel (lowest program id on depth
+    ties, for reproducibility) gets its weight decremented."""
+    vvs = cfg.virtual_voxel_size
+    pi, lane_valid = _block_voxel_grid(bpos, bres)
+    pf = X.virtual_voxel_pos_to_world(vvs, pi)
+    pcam = C.world_to_cam(cam, pf)
+    row, col, ok = C.project_point(cam, pcam)
+    depth = C.get_depth(cam, pcam)
+    ok = ok & (depth >= cam.min_depth) & bvalid[:, None] & lane_valid
+
+    HW = cam.rows * cam.cols
+    pix = jnp.where(ok, row * cam.cols + col, HW).reshape(-1)
+    d = jnp.where(ok, depth, INF).reshape(-1)
+
+    zbuf = jnp.full((HW,), INF, jnp.float32).at[pix].min(d, mode="drop")
+    is_front = ok.reshape(-1) & (d == zbuf[jnp.where(pix < HW, pix, 0)])
+    tid = jnp.arange(d.shape[0], dtype=jnp.int32)
+    tbuf = jnp.full((HW,), jnp.iinfo(jnp.int32).max, jnp.int32).at[
+        jnp.where(is_front, pix, HW)].min(tid, mode="drop")
+    starved = is_front & (tbuf[jnp.where(pix < HW, pix, 0)] == tid)
+
+    vidx = (bptr[:, None]
+            + jnp.arange(P.TOTAL_SDF_BLOCK_SIZE, dtype=jnp.int32)).reshape(-1)
+    dest = jnp.where(starved, vidx, pool.num_voxels)
+    w = pool.weight[jnp.where(starved, vidx, 0)]
+    return pool.replace(weight=pool.weight.at[dest].set(
+        jnp.maximum(0, w - 1), mode="drop"))
+
+
+def _clear_blocks(pool: VoxelPool, bptr, mask):
+    """deleteVoxel over whole blocks (voxel_data_structures.cu:1838-1842)."""
+    vidx = bptr[:, None] + jnp.arange(P.TOTAL_SDF_BLOCK_SIZE,
+                                      dtype=jnp.int32)[None, :]
+    dest = jnp.where(mask[:, None], vidx, pool.num_voxels).reshape(-1)
+    z = jnp.zeros_like(dest, dtype=jnp.float32)
+    return pool.replace(
+        sdf=pool.sdf.at[dest].set(z, mode="drop"),
+        sumsq=pool.sumsq.at[dest].set(z, mode="drop"),
+        weight=pool.weight.at[dest].set(0, mode="drop"),
+        rgb=pool.rgb.at[dest].set(0, mode="drop"))
+
+
+def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
+                          pool: VoxelPool, cam: C.Camera,
+                          slots, bpos, bptr, bres, bvalid):
+    """garbageCollectIdentify + Free (voxel_data_structures.cu:1673-1854):
+    free blocks whose min |sdf| exceeds the max-depth truncation or whose max
+    weight is zero."""
+    lanes = jnp.arange(P.TOTAL_SDF_BLOCK_SIZE, dtype=jnp.int32)
+    nvox = jnp.where(bres == 1, P.TOTAL_LOW_BLOCK_SIZE,
+                     P.TOTAL_SDF_BLOCK_SIZE)
+    lane_valid = lanes[None, :] < nvox[:, None]
+    vidx = bptr[:, None] + lanes[None, :]
+    vidx_safe = jnp.where(bvalid[:, None] & lane_valid, vidx, 0)
+    w = jnp.where(bvalid[:, None] & lane_valid, pool.weight[vidx_safe], 0)
+    s = jnp.where((w > 0) & lane_valid, jnp.abs(pool.sdf[vidx_safe]), INF)
+
+    trunc_max = X.get_truncation(cam.max_depth, cfg.sdf_truncation,
+                                 cfg.sdf_truncation_scale)
+    decision = bvalid & ((jnp.min(s, axis=1) >= trunc_max)
+                         | (jnp.max(w, axis=1) == 0))
+    table, ptrs, _, freed = H.free_slots(table, slots, decision)
+    pool = _clear_blocks(pool, ptrs, freed)
+    return table, pool
+
+
+# ---------------------------------------------------------------------------
+# variance-adaptive coarsening (multi-resolution)
+# ---------------------------------------------------------------------------
+
+def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
+                        slots, bpos, bptr, bres, bvalid):
+    """checkVarSDFKernel + reallocBlocks (voxel_data_structures.cu:
+    1856-2069): res-0 blocks whose average SDF variance is below threshold
+    are freed and re-allocated at res 1 (drawing from the low heap, refilled
+    by splitting high blocks when short).
+
+    Returns (table', pool', new_slots[u], new_mask[u]) — the re-allocated
+    coarse blocks to re-integrate."""
+    lanes = jnp.arange(P.TOTAL_SDF_BLOCK_SIZE, dtype=jnp.int32)
+    vidx = jnp.where(bvalid[:, None], bptr[:, None] + lanes[None, :], 0)
+    w = pool.weight[vidx]
+    ssq = pool.sumsq[vidx]
+    wf = jnp.where(w > 0, w, 0).astype(jnp.float32)
+    ssqf = jnp.where(w > 0, ssq, 0.0)
+    w_tot = jnp.sum(wf, axis=1)
+    ssq_tot = jnp.sum(ssqf, axis=1)
+    avg_var = ssq_tot / jnp.maximum(w_tot - 1.0, 1e-12)
+    decide = (bvalid & (bres == 0) & (w_tot >= 2)
+              & (avg_var > 0.0) & (avg_var < cfg.sdf_var_threshold))
+
+    # free the fine blocks
+    table, ptrs, _, freed = H.free_slots(table, slots, decide)
+    pool = _clear_blocks(pool, ptrs, freed)
+
+    # queue re-allocation at res+1 (bounded)
+    u = cfg.max_coarsen_per_frame
+    rank = jnp.cumsum(freed.astype(jnp.int32)) - 1
+    dest = jnp.where(freed & (rank < u), rank, u)
+    rkeys = jnp.zeros((u, 3), jnp.int32).at[dest].set(bpos, mode="drop")
+    rvalid = jnp.zeros((u,), bool).at[dest].set(True, mode="drop")
+
+    # refill low heap if short (allocateMemoryLow)
+    need = jnp.sum(rvalid.astype(jnp.int32))
+    short = table.low_count < need
+    n_split = cfg.low_split_chunk
+    want = (jnp.arange(n_split) < n_split) & short
+    ids, got, high_count = H._heap_draw(table.heap_high, table.high_count,
+                                        want)
+    sub = (ids[:, None] * P.OCTREE_BRANCHING_FACTOR
+           + jnp.arange(P.OCTREE_BRANCHING_FACTOR, dtype=jnp.int32)).reshape(-1)
+    hl, lc = H._heap_push(table.heap_low, table.low_count, sub,
+                          jnp.repeat(got, P.OCTREE_BRANCHING_FACTOR))
+    table = table.replace(high_count=high_count, heap_low=hl, low_count=lc)
+
+    table, info = H.insert(table, rkeys, rvalid, jnp.ones((u,), jnp.int32))
+    return table, pool, info["slot"], info["was_new"]
+
+
+def reintegrate_blocks(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
+                       cam: C.Camera, pc_depth, rgb_img, new_slots, new_mask):
+    """reintegrateDepthMapKernel (voxel_data_structures.cu:1941-2018): fuse
+    the current frame into freshly coarsened blocks (no variance update)."""
+    safe = jnp.where(new_mask, new_slots, 0)
+    return integrate_depth(cfg, pool, cam, pc_depth, rgb_img,
+                           table.pos[safe], table.ptr[safe], table.res[safe],
+                           new_mask)
