@@ -1,0 +1,107 @@
+"""Marching-cubes extraction quality: integrate a synthetic wall, extract,
+check the mesh is the right plane (the RMSE-style check BASELINE.md targets).
+Also unit tests for the host dedup/merge (tests/test_marching_cubes.cpp)."""
+import jax.numpy as jnp
+import numpy as np
+
+from mrhash_tpu.core import mesh_post, pipeline
+from mrhash_tpu.core.state import MapConfig, make_state
+from mrhash_tpu.ops import camera as C
+from mrhash_tpu.ops import integrate as I
+from mrhash_tpu.ops import meshing as M
+
+ROWS, COLS = 48, 64
+
+
+def cfg_cam():
+    cfg = MapConfig(virtual_voxel_size=0.05, sdf_truncation=0.15,
+                    max_integration_distance=5.0, num_blocks=4096,
+                    max_active_blocks=4096, max_alloc_per_frame=2048,
+                    min_weight_threshold=1, marching_cubes_threshold=1.5)
+    cam = C.make_camera(fx=40.0, fy=40.0, cx=COLS / 2 - 0.5,
+                        cy=ROWS / 2 - 0.5, rows=ROWS, cols=COLS,
+                        min_depth=0.01, max_depth=5.0)
+    return cfg, cam
+
+
+def test_wall_mesh_plane():
+    cfg, cam = cfg_cam()
+    state = make_state(cfg.num_blocks)
+    depth = jnp.full((ROWS, COLS), 2.0, jnp.float32)
+    rgb = jnp.full((ROWS, COLS, 3), 128, jnp.uint8)
+    for _ in range(3):
+        state, _ = pipeline.integrate_rgbd(cfg, state, cam, depth, rgb)
+
+    slots, count, bpos, bptr, bres, bvalid = I.compact_active(
+        cfg, state.table)
+    tri_pos, tri_col, n_tri = M.extract_iso_surface(
+        cfg, state.table, state.pool, bpos, bptr, bres, bvalid,
+        max_cells=1 << 15, max_triangles=1 << 15)
+    n = int(n_tri)
+    assert n > 50
+
+    verts = np.asarray(tri_pos)[:n].reshape(-1, 3)
+    # all triangle vertices lie on the z=2 wall (within ~half a voxel; the
+    # projective SDF ray obliquity adds a little slack at the image borders)
+    z = verts[:, 2]
+    assert abs(np.median(z) - 2.0) < 0.5 * cfg.virtual_voxel_size
+    rmse = np.sqrt(np.mean((z - 2.0) ** 2))
+    assert rmse < cfg.virtual_voxel_size, rmse
+
+    # colors interpolate around the constant input color
+    cols = np.asarray(tri_col)[:n].reshape(-1, 3)
+    assert np.all(cols >= 0) and np.all(cols <= 255)
+    assert abs(np.median(cols) - 128) < 16
+
+    # the wall spans a reasonable extent of the frustum
+    assert np.ptp(verts[:, 0]) > 1.0 and np.ptp(verts[:, 1]) > 0.8
+
+
+def test_trilinear_on_wall():
+    cfg, cam = cfg_cam()
+    state = make_state(cfg.num_blocks)
+    depth = jnp.full((ROWS, COLS), 2.0, jnp.float32)
+    rgb = jnp.full((ROWS, COLS, 3), 128, jnp.uint8)
+    state, _ = pipeline.integrate_rgbd(cfg, state, cam, depth, rgb)
+
+    # sample SDF along the central ray: positive before the wall, ~0 at it
+    pts = jnp.asarray([[0.0, 0.0, 1.93], [0.0, 0.0, 2.0]], jnp.float32)
+    dist, ok = M.trilinear_interpolation(cfg, state.table, state.pool, pts)
+    assert bool(ok.all())
+    assert float(dist[0]) > 0.0
+    assert abs(float(dist[1])) < 0.55 * cfg.virtual_voxel_size
+
+
+def test_mesh_accumulator_dedup():
+    acc = mesh_post.MeshAccumulator(0.0)
+    # two triangles sharing an edge -> 4 unique vertices
+    t1 = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float64)
+    t2 = np.array([[[1, 0, 0], [1, 1, 0], [0, 1, 0]]], np.float64)
+    c = np.full((1, 3, 3), 10.0)
+    acc.add_triangles(np.concatenate([t1, t2]), np.concatenate([c, c]))
+    assert acc.vertices.shape[0] == 4
+    assert acc.faces.shape[0] == 2
+    # re-adding the same triangles changes nothing (duplicate faces removed)
+    acc.add_triangles(t1, c)
+    assert acc.vertices.shape[0] == 4
+    assert acc.faces.shape[0] == 2
+
+
+def test_mesh_accumulator_epsilon_merge():
+    acc = mesh_post.MeshAccumulator(0.1)
+    t1 = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float64)
+    # vertex jittered by < eps merges; triangle becomes degenerate duplicate
+    t2 = np.array([[[0.001, 0.001, 0.0], [1.001, 0.0, 0.0], [0, 1, 0]]],
+                  np.float64)
+    c = np.full((1, 3, 3), 10.0)
+    acc.add_triangles(np.concatenate([t1, t2]),
+                      np.concatenate([c, c]))
+    assert acc.vertices.shape[0] == 3
+    assert acc.faces.shape[0] == 1
+
+
+def test_mesh_accumulator_degenerate_filter():
+    acc = mesh_post.MeshAccumulator(0.0)
+    t = np.array([[[0, 0, 0], [0, 0, 0], [0, 1, 0]]], np.float64)  # collapsed
+    acc.add_triangles(t, np.zeros((1, 3, 3)))
+    assert acc.faces.shape[0] == 0
