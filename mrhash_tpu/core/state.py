@@ -81,6 +81,7 @@ class MapConfig:
     max_active_blocks: int = 1 << 16         # compacted block window
     max_alloc_per_frame: int = 1 << 14       # unique new blocks per frame
     dedup_scratch_factor: int = 8            # scratch cells per alloc slot
+    alloc_rounds: int = 2                    # salted dedup+insert passes
     dda_extra_steps: int = 3
     max_coarsen_per_frame: int = 1 << 12     # variance-merge queue
     low_split_chunk: int = 1 << 10           # high blocks split per refill

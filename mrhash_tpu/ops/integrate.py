@@ -156,8 +156,19 @@ def alloc_candidates_points(cfg: MapConfig, cam: C.Camera, points, normals,
 # candidate dedup (replaces bucket-mutex conflict handling)
 # ---------------------------------------------------------------------------
 
-_SALT0 = jnp.uint32(2654435761)  # Knuth multiplicative constants
-_SALT1 = jnp.uint32(40503)
+_SALT0 = jnp.uint32(2654435761)  # Knuth multiplicative constant
+
+
+def _avalanche(h):
+    """murmur3 finalizer: full-avalanche uint32 mix.  Required because any
+    affine salt (xor/add/mul by odd) preserves low-bit collision structure
+    mod a power-of-two scratch size — the salt would never rotate losers."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
 
 
 def dedup_candidates(keys, valid, frame_salt, scratch_size: int, u_max: int):
@@ -173,9 +184,10 @@ def dedup_candidates(keys, valid, frame_salt, scratch_size: int, u_max: int):
     x = keys[..., 0].astype(jnp.uint32)
     y = keys[..., 1].astype(jnp.uint32)
     z = keys[..., 2].astype(jnp.uint32)
-    salt = frame_salt.astype(jnp.uint32) * _SALT1 + jnp.uint32(1)
-    h = ((x * jnp.uint32(P.P1)) ^ (y * jnp.uint32(P.P2))
-         ^ (z * jnp.uint32(P.P0)) ^ (salt * _SALT0))
+    salt = frame_salt.astype(jnp.uint32)
+    h = _avalanche(x * jnp.uint32(P.P1) + salt * _SALT0)
+    h = _avalanche(h ^ (y * jnp.uint32(P.P2)))
+    h = _avalanche(h ^ (z * jnp.uint32(P.P0)))
     cell = (h % jnp.uint32(scratch_size)).astype(jnp.int32)
 
     idx = jnp.arange(M, dtype=jnp.int32)
@@ -191,14 +203,19 @@ def dedup_candidates(keys, valid, frame_salt, scratch_size: int, u_max: int):
 
 
 def alloc_blocks(cfg: MapConfig, table: H.HashTable, keys, valid, frame):
-    """allocBlocks host wrapper (voxel_data_structures.cu:873-922) minus the
-    fixed-point retry loop (our batched insert is complete in one pass)."""
-    ukeys, uvalid = dedup_candidates(
-        keys, valid, frame,
-        cfg.max_alloc_per_frame * cfg.dedup_scratch_factor,
-        cfg.max_alloc_per_frame)
-    table, _ = H.insert(table, ukeys, uvalid,
-                        jnp.zeros((cfg.max_alloc_per_frame,), jnp.int32))
+    """allocBlocks host wrapper (voxel_data_structures.cu:873-922).
+
+    The reference re-runs its alloc kernel in a fixed-point loop to resolve
+    bucket-lock misses (RESOLVE_CONFLICT_ALLOCATIONS, :901-921); the analogue
+    here is alloc_rounds dedup+insert passes with independent salts, which
+    drive the scratch-collision miss probability to ~(d/S)^rounds per key."""
+    zero_res = jnp.zeros((cfg.max_alloc_per_frame,), jnp.int32)
+    for i in range(cfg.alloc_rounds):
+        ukeys, uvalid = dedup_candidates(
+            keys, valid, frame * cfg.alloc_rounds + i,
+            cfg.max_alloc_per_frame * cfg.dedup_scratch_factor,
+            cfg.max_alloc_per_frame)
+        table, _ = H.insert(table, ukeys, uvalid, zero_res)
     return table
 
 
