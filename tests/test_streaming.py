@@ -1,0 +1,145 @@
+"""Streaming + checkpoint tests, mirroring tests/test_streamer.cu:40-117
+(circular trajectory, duplicate-ratio audit) and
+tests/test_grid_serializer.cu:34-156 (exact serialize round trip)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from mrhash_tpu import params as P
+from mrhash_tpu.core import pipeline
+from mrhash_tpu.core.state import MapConfig, make_state
+from mrhash_tpu.core.streaming import Streamer
+from mrhash_tpu.ops import camera as C
+
+ROWS, COLS = 32, 48
+
+
+def make_setup():
+    cfg = MapConfig(virtual_voxel_size=0.05, sdf_truncation=0.15,
+                    max_integration_distance=6.0, num_blocks=8192,
+                    max_active_blocks=8192, max_alloc_per_frame=2048,
+                    voxel_extents=(1.0, 1.0, 1.0))
+    cam = C.make_camera(fx=30.0, fy=30.0, cx=COLS / 2 - 0.5,
+                        cy=ROWS / 2 - 0.5, rows=ROWS, cols=COLS,
+                        min_depth=0.01, max_depth=4.0)
+    return cfg, cam
+
+
+def circular_pose(step, n_steps, r=2.0):
+    """test_utils.cuh:20-32 — camera on a circle looking outward."""
+    th = 2 * np.pi * step / n_steps
+    fwd = np.array([np.cos(th), np.sin(th), 0.0])
+    t = r * fwd
+    z = fwd
+    x = np.array([-np.sin(th), np.cos(th), 0.0])
+    y = np.cross(z, x)
+    rot = np.stack([x, y, z], axis=1)
+    return jnp.asarray(rot, jnp.float32), jnp.asarray(t, jnp.float32)
+
+
+def run_trajectory(cfg, cam, state, streamer, n_steps=12, radius=3.0):
+    depth = jnp.full((ROWS, COLS), 2.5, jnp.float32)
+    rgb = jnp.full((ROWS, COLS, 3), 100, jnp.uint8)
+    for i in range(n_steps):
+        rot, t = circular_pose(i, n_steps)
+        cam_i = C.with_pose(cam, rot, t)
+        state = streamer.stream(state, np.asarray(t), radius)
+        state, stats = pipeline.integrate_rgbd(cfg, state, cam_i, depth, rgb)
+    return state
+
+
+def test_stream_cycle_duplicate_audit():
+    cfg, cam = make_setup()
+    state = make_state(cfg.num_blocks)
+    streamer = Streamer(cfg, staging_size=4096)
+    state = run_trajectory(cfg, cam, state, streamer)
+    # device-vs-RAM duplicates are inherent to the sphere-based reload policy
+    # (a re-allocated frustum block may still have a stale RAM copy); the
+    # reference audits this at <0.15 (test_streamer.cu:115)
+    assert streamer.duplicate_ratio(state) < 0.15
+
+    # streaming everything out empties the device; fresh copies supersede
+    # stale RAM copies, so the grid ends duplicate-free
+    state = streamer.stream_all_out(state)
+    assert int((state.table.ptr != P.FREE_ENTRY).sum()) == 0
+    assert int(state.table.high_count) == cfg.num_blocks
+    assert streamer.duplicate_ratio(state) == 0.0
+    # no intra-chunk duplicate keys either
+    for g in streamer.grid.chunks.values():
+        assert np.unique(g["pos"], axis=0).shape[0] == g["pos"].shape[0]
+
+
+def test_stream_out_in_roundtrip_preserves_voxels():
+    cfg, cam = make_setup()
+    state = make_state(cfg.num_blocks)
+    streamer = Streamer(cfg, staging_size=512)  # force multi-pass staging
+    depth = jnp.full((ROWS, COLS), 2.0, jnp.float32)
+    rgb = jnp.full((ROWS, COLS, 3), 50, jnp.uint8)
+    state, _ = pipeline.integrate_rgbd(cfg, state, cam, depth, rgb)
+
+    occ = np.asarray(state.table.ptr) != P.FREE_ENTRY
+    pos0 = np.asarray(state.table.pos)[occ]
+    # record voxel content keyed by block position
+    def snapshot(state):
+        occ = np.asarray(state.table.ptr) != P.FREE_ENTRY
+        pos = np.asarray(state.table.pos)[occ]
+        ptr = np.asarray(state.table.ptr)[occ]
+        lanes = np.arange(P.TOTAL_SDF_BLOCK_SIZE)
+        sdf = np.asarray(state.pool.sdf)[ptr[:, None] + lanes]
+        w = np.asarray(state.pool.weight)[ptr[:, None] + lanes]
+        order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
+        return pos[order], sdf[order], w[order]
+
+    p0, s0, w0 = snapshot(state)
+    state = streamer.stream_all_out(state)
+    state = streamer.stream_in(state, np.zeros(3), 1e6)
+    p1, s1, w1 = snapshot(state)
+    assert np.array_equal(p0, p1)
+    assert np.array_equal(s0, s1)
+    assert np.array_equal(w0, w1)
+
+
+def test_grid_serializer_roundtrip(tmp_path):
+    cfg, cam = make_setup()
+    state = make_state(cfg.num_blocks)
+    streamer = Streamer(cfg, staging_size=4096)
+    state = run_trajectory(cfg, cam, state, streamer, n_steps=6)
+    state = streamer.stream_all_out(state)
+
+    path = os.path.join(tmp_path, "grid.npz")
+    streamer.serialize_grid(path)
+
+    streamer2 = Streamer(cfg, staging_size=4096)
+    streamer2.deserialize_grid(path)
+    assert set(streamer2.grid.chunks) == set(streamer.grid.chunks)
+    for key in streamer.grid.chunks:
+        a, b = streamer.grid.chunks[key], streamer2.grid.chunks[key]
+        # exact per-voxel equality of the whole grid
+        # (test_grid_serializer.cu:124-155)
+        order_a = np.lexsort(tuple(a["pos"].T))
+        order_b = np.lexsort(tuple(b["pos"].T))
+        for k in a:
+            assert np.array_equal(a[k][order_a], b[k][order_b]), (key, k)
+
+
+def test_serialize_data_ply(tmp_path):
+    cfg, cam = make_setup()
+    state = make_state(cfg.num_blocks)
+    streamer = Streamer(cfg, staging_size=4096)
+    depth = jnp.full((ROWS, COLS), 2.0, jnp.float32)
+    rgb = jnp.full((ROWS, COLS, 3), 50, jnp.uint8)
+    state, _ = pipeline.integrate_rgbd(cfg, state, cam, depth, rgb)
+    state = streamer.stream_all_out(state)
+
+    fh = os.path.join(tmp_path, "hash.ply")
+    fv = os.path.join(tmp_path, "voxel.ply")
+    streamer.serialize_data(fh, fv)
+    from mrhash_tpu.utils.plyio import read_points_ply
+    hp, _ = read_points_ply(fh)
+    vp, props = read_points_ply(fv)
+    assert hp.shape[0] == streamer.grid.num_blocks()
+    assert vp.shape[0] > 0
+    assert "weight" in props and "sdf" in props
+    # voxel points sit near the wall depth
+    assert abs(np.median(vp[:, 2]) - 2.0) < 0.5
