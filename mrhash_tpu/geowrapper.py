@@ -1,0 +1,454 @@
+"""GeoWrapper: the user-facing API, mirroring the reference's single bound
+class (mrhash/src/sdf/geowrapper.{h,cpp}, pybind/pygeowrapper.cpp:12-84) —
+same constructor kwargs, same method surface — implemented as a pure-Python
+orchestrator over jit-compiled JAX programs (no native extension needed for
+the device path; XLA/Pallas fills the role CUDA kernels play there).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrhash_tpu import params as P
+from mrhash_tpu.core import mesh_post, pipeline
+from mrhash_tpu.core.state import MapConfig, make_state
+from mrhash_tpu.core.streaming import Streamer
+from mrhash_tpu.ops import camera as C
+from mrhash_tpu.ops import integrate as I
+from mrhash_tpu.ops import meshing as M
+from mrhash_tpu.utils import plyio
+from mrhash_tpu.utils.profiler import Profiler
+
+
+def _quat_to_rot(qx, qy, qz, qw):
+    """Quaternion (x,y,z,w) -> rotation matrix (setCurrPose,
+    geowrapper.cpp:86-92)."""
+    n = np.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+    qx, qy, qz, qw = qx / n, qy / n, qz / n, qw / n
+    return np.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+         2 * (qx * qz + qy * qw)],
+        [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qx * qw)],
+        [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+         1 - 2 * (qx * qx + qy * qy)]], np.float32)
+
+
+def _device_free_bytes(default=8 << 30):
+    """cudaMemGetInfo analogue (geowrapper.cpp:37-42)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = stats.get("bytes_limit", 0)
+        used = stats.get("bytes_in_use", 0)
+        if limit:
+            return max(limit - used, 1 << 28)
+    except Exception:
+        pass
+    return default
+
+
+def _round_up_pow2(x):
+    return 1 << max(int(x) - 1, 1).bit_length()
+
+
+class GeoWrapper:
+    """TPU-native GeoWrapper (reference: geowrapper.h:18-260)."""
+
+    def __init__(self,
+                 sdf_truncation: float,
+                 sdf_truncation_scale: float,
+                 integration_weight_sample: int,
+                 virtual_voxel_size: float,
+                 n_frames_invalidate_voxels: int,
+                 voxel_extents_scale: int,
+                 viewer_active: bool = False,
+                 marching_cubes_threshold: float = 1.5,
+                 min_weight_threshold: int = 1,
+                 min_depth: float = 0.01,
+                 max_depth: float = 30.0,
+                 gs_optimization_param_path: str =
+                 P.DEFAULT_GS_OPTIMIZATION_PARAM_PATH,
+                 sdf_var_threshold: float = P.DEFAULT_SDF_VAR_THRESHOLD,
+                 vertices_merging_threshold: float =
+                 P.DEFAULT_VERTICES_MERGING_THRESHOLD,
+                 projective_sdf: bool = P.DEFAULT_PROJECTIVE_SDF,
+                 # --- TPU capacity overrides (not in the reference API;
+                 #     default = memory-budget math like geowrapper.cpp:37-56)
+                 num_blocks: int | None = None,
+                 max_active_blocks: int | None = None,
+                 max_alloc_per_frame: int = 1 << 14,
+                 profiling: bool = True):
+        free = _device_free_bytes()
+        if gs_optimization_param_path:
+            free = int(free * P.GS_SCALING_RATIO)
+        to_alloc = free * P.SDF_BLOCKS_RATIO
+        if num_blocks is None:
+            num_blocks = int(to_alloc * P.SDF_BLOCKS_RATIO
+                             / (P.VOXEL_NBYTES * P.TOTAL_SDF_BLOCK_SIZE))
+            num_blocks = min(_round_up_pow2(num_blocks), 1 << 20)
+        self.max_num_triangles_mesh_ = int(to_alloc * P.MESH_RATIO
+                                           / P.TRIANGLE_NBYTES)
+        staging = int(to_alloc * P.SDF_BLOCKS_STREAM_RATIO
+                      / (P.VOXEL_NBYTES * P.TOTAL_SDF_BLOCK_SIZE))
+        staging = min(max(_round_up_pow2(staging), 1 << 10), num_blocks)
+        if max_active_blocks is None:
+            max_active_blocks = min(num_blocks, 1 << 17)
+
+        self.cfg = MapConfig(
+            virtual_voxel_size=float(virtual_voxel_size),
+            voxel_extents=(float(voxel_extents_scale),) * 3,
+            sdf_truncation=float(sdf_truncation),
+            sdf_truncation_scale=float(sdf_truncation_scale),
+            integration_weight_sample=int(integration_weight_sample),
+            max_integration_distance=float(max_depth),
+            n_frames_invalidate_voxels=int(n_frames_invalidate_voxels),
+            sdf_var_threshold=float(sdf_var_threshold),
+            min_weight_threshold=int(min_weight_threshold),
+            marching_cubes_threshold=float(marching_cubes_threshold),
+            vertices_merging_threshold=float(vertices_merging_threshold),
+            projective_sdf=bool(projective_sdf),
+            num_blocks=int(num_blocks),
+            max_active_blocks=int(max_active_blocks),
+            max_alloc_per_frame=int(max_alloc_per_frame),
+        )
+        self.state = make_state(self.cfg.num_blocks)
+        self.streamer = Streamer(self.cfg, staging)
+        self.mesh = mesh_post.MeshAccumulator(vertices_merging_threshold)
+        self.viewer_active = viewer_active
+        self.gs_optimization_param_path = gs_optimization_param_path
+        self.gs_container = None
+        if gs_optimization_param_path:
+            from mrhash_tpu.gs.container import GaussianContainer
+            self.gs_container = GaussianContainer(gs_optimization_param_path)
+
+        self.camera = C.make_camera(1.0, 1.0, 0.0, 0.0, 1, 1,
+                                    min_depth, max_depth)
+        self._min_depth = float(min_depth)
+        self._max_depth = float(max_depth)
+        self.curr_rot = np.eye(3, dtype=np.float32)
+        self.curr_trans = np.zeros(3, np.float32)
+        self.camera_in_lidar = np.eye(4, dtype=np.float32)
+
+        self._depth_img = None
+        self._rgb_img = None
+        self._points = None
+        self._normals = None
+        self._weights = None
+        self._num_points = 0
+
+        self._high_free = self.cfg.num_blocks  # host mirror of heap count
+        self.integration_profiler = Profiler("integration_profiler",
+                                             profiling)
+        self.streaming_profiler = Profiler("streamer_profiler", profiling)
+        self._write_memory_report()
+
+    # ------------------------------------------------------------------ config
+    def _write_memory_report(self, path="memory_allocation.txt"):
+        """calculateMemoryUsage (voxel_data_structures.cpp:9-55)."""
+        cfg = self.cfg
+        cap = cfg.num_blocks * P.HASH_BUCKET_SIZE
+        nv = cfg.num_blocks * P.TOTAL_SDF_BLOCK_SIZE
+        mb = 1e-6
+        try:
+            with open(path, "w") as f:
+                f.write("VoxelContainer | running with following parameters:"
+                        f"\nnum_sdf_blocks: {cfg.num_blocks}"
+                        f"\nhash_num_buckets: {cfg.num_blocks}"
+                        f"\nhash_bucket_size: {P.HASH_BUCKET_SIZE}"
+                        f"\nmax_integration_distance: "
+                        f"{cfg.max_integration_distance}"
+                        f"\nsdf_truncation: {cfg.sdf_truncation}"
+                        f"\nsdf_truncation_scale: {cfg.sdf_truncation_scale}"
+                        f"\ntotal_size: {cap}"
+                        f"\nvoxel_block_volume: {P.TOTAL_SDF_BLOCK_SIZE}\n")
+                f.write("====================================================\n")
+                f.write(f"size_d_hashTable : {cap * 24 * mb} MB\n")
+                f.write(f"size_d_SDFBlocks : {nv * 15 * mb} MB\n")
+        except OSError:
+            pass
+
+    # ------------------------------------------------------------------ inputs
+    def setCamera(self, fx, fy, cx, cy, rows, cols, min_depth, max_depth,
+                  camera_model=0):
+        self.camera = C.make_camera(fx, fy, cx, cy, rows, cols,
+                                    min_depth, max_depth, int(camera_model))
+        self._min_depth = float(min_depth)
+        self._max_depth = float(max_depth)
+        # max integration distance follows the camera (geowrapper.cpp:111)
+        self.cfg = dataclasses.replace(
+            self.cfg, max_integration_distance=float(max_depth))
+
+    def setCurrPose(self, pose, orientation):
+        """pose: (3,) translation; orientation: (4,) quaternion x,y,z,w."""
+        pose = np.asarray(pose, np.float32).reshape(3)
+        q = np.asarray(orientation, np.float64).reshape(4)
+        self.curr_rot = _quat_to_rot(q[0], q[1], q[2], q[3])
+        self.curr_trans = pose
+
+    def setCameraInLidar(self, camera_in_lidar):
+        self.camera_in_lidar = np.asarray(camera_in_lidar, np.float32)
+
+    def setDepthImage(self, depth):
+        depth = np.asarray(depth, np.float32)
+        if depth.ndim != 2:
+            raise ValueError("setDepthImage: expected a 2D array")
+        self._depth_img = depth
+        self._points = None
+
+    def setRGBImage(self, rgb):
+        rgb = np.asarray(rgb, np.uint8)
+        if rgb.ndim != 3 or rgb.shape[2] != 3:
+            raise ValueError("setRGBImage: expected an HxWx3 uint8 array")
+        self._rgb_img = rgb
+
+    def setPointCloud(self, points, arg2=False):
+        """setPointCloud(points, compute_normals) or
+        setPointCloud(points, normals) (pygeowrapper.cpp:66-67)."""
+        points = np.asarray(points, np.float32).reshape(-1, 3)
+        self._num_points = points.shape[0]
+        if isinstance(arg2, (bool, np.bool_)):
+            if arg2:
+                from mrhash_tpu.ops.normals import estimate_normals
+                normals, _, weights = estimate_normals(points)
+            else:
+                normals = np.zeros_like(points)
+                weights = np.ones((points.shape[0],), np.float32)
+        else:
+            normals = np.asarray(arg2, np.float32).reshape(-1, 3)
+            if normals.shape[0] == 3 * points.shape[0]:
+                normals = normals.reshape(-1, 3, 3)[:, 0, :]  # eigvec col 0
+            weights = np.ones((points.shape[0],), np.float32)
+        # pad to a power-of-two bucket: static shapes for jit
+        bucket = _round_up_pow2(max(points.shape[0], 1024))
+        self._points = np.zeros((bucket, 3), np.float32)
+        self._points[: points.shape[0]] = points
+        self._normals = np.zeros((bucket, 3), np.float32)
+        self._normals[: points.shape[0]] = normals
+        self._weights = np.zeros((bucket,), np.float32)
+        self._weights[: points.shape[0]] = weights
+        self._depth_img = None
+
+    # ------------------------------------------------------------------ compute
+    def compute(self):
+        """Per-frame step (geowrapper.cpp:118-148)."""
+        cam = C.with_pose(self.camera, self.curr_rot, self.curr_trans)
+
+        # stream when the high heap runs low (geowrapper.cpp:137-138)
+        if self._high_free <= P.STREAM_THRESHOLD * self.cfg.num_blocks:
+            with self.streaming_profiler.event():
+                self.state = self.streamer.stream(
+                    self.state, self.curr_trans, self.camera.max_depth)
+            self.streaming_profiler.write(self.streamer.grid.num_blocks())
+
+        with self.integration_profiler.event():
+            if self._depth_img is not None and self._rgb_img is not None:
+                step = pipeline.jit_integrate_rgbd(self.cfg)
+                self.state, stats = step(self.state, cam,
+                                         jnp.asarray(self._depth_img),
+                                         jnp.asarray(self._rgb_img))
+            elif self._points is not None:
+                step = pipeline.jit_integrate_points(self.cfg)
+                valid = np.zeros((self._points.shape[0],), bool)
+                valid[: self._num_points] = True
+                self.state, stats = step(self.state, cam,
+                                         jnp.asarray(self._points),
+                                         jnp.asarray(self._normals),
+                                         jnp.asarray(self._weights),
+                                         jnp.asarray(valid))
+            else:
+                return
+            occupied = int(stats["occupied_blocks"])
+            self._high_free = int(stats["high_free"])
+        self.integration_profiler.write(occupied)
+
+        if (self.gs_container is not None and self._depth_img is not None
+                and self._rgb_img is not None):
+            self.gs_container.run_gs(self.cfg, cam, self.state,
+                                     self._rgb_img, self._depth_img)
+
+    # ------------------------------------------------------------------ meshing
+    @functools.lru_cache(maxsize=4)
+    def _jit_extract(self, max_cells, max_triangles):
+        def fn(table, pool, bpos, bptr, bres, bvalid):
+            return M.extract_iso_surface(self.cfg, table, pool, bpos, bptr,
+                                         bres, bvalid, max_cells,
+                                         max_triangles)
+        return jax.jit(fn)
+
+    def _extract_resident(self, max_cells=1 << 16, max_triangles=1 << 18):
+        """MeshExtractor::extractMesh on all resident blocks."""
+        slots, count, bpos, bptr, bres, bvalid = I.compact_active(
+            self.cfg, self.state.table)
+        tri_pos, tri_col, n = self._jit_extract(max_cells, max_triangles)(
+            self.state.table, self.state.pool, bpos, bptr, bres, bvalid)
+        n = int(n)
+        return np.asarray(tri_pos[:n]), np.asarray(tri_col[:n])
+
+    def extractMesh(self, filename: str):
+        """Chunk-sweep mesh extraction + ASCII PLY
+        (geowrapper.cpp:150-230)."""
+        self.state = self.streamer.stream_all_out(self.state)
+        self.mesh.reset()
+        radius = P.RADIUS_SCALE_CHUNK * self.camera.max_depth
+        radius_i = max(int(radius), 1)
+        min_g, max_g = self.streamer.grid.compute_bounds()
+        max_g = np.maximum(max_g, min_g + 1)
+
+        for x in range(int(min_g[0]), int(max_g[0]), radius_i):
+            for y in range(int(min_g[1]), int(max_g[1]), radius_i):
+                for z in range(int(min_g[2]), int(max_g[2]), radius_i):
+                    center = self.streamer.grid.chunk_to_world((x, y, z))
+                    self.state = self.streamer.stream_in(self.state, center,
+                                                         radius)
+                    tri_pos, tri_col = self._extract_resident()
+                    if tri_pos.shape[0] > 0:
+                        self.mesh.add_triangles(tri_pos, tri_col)
+                    self.state = self.streamer.stream_all_out(self.state)
+
+        plyio.write_mesh_ply(filename, self.mesh.vertices, self.mesh.faces,
+                             self.mesh.colors)
+        print(f"GeoWrapper::extractMesh | written {self.mesh.vertices.shape[0]}"
+              f" vertices and {self.mesh.faces.shape[0]} faces to {filename}")
+
+    # ------------------------------------------------------------------ GS
+    def GSSavePointCloud(self, folder: str):
+        if self.gs_container is None:
+            print("GeoWrapper::GSSavePointCloud | GS container not "
+                  "initialized")
+            return
+        self.gs_container.save_ply(folder, int(self.state.frame))
+
+    def GSFinalOpt(self):
+        if self.gs_container is not None:
+            self.gs_container.optimize_final()
+
+    # ------------------------------------------------------------------ persistence
+    def streamAllOut(self):
+        self.state = self.streamer.stream_all_out(self.state)
+
+    def clearBuffers(self):
+        """geowrapper.cpp clearBuffers: evict + drop the host grid."""
+        self.streamAllOut()
+        self.streamer.grid.chunks = {}
+        self.streamer.print_statistics()
+
+    def serializeData(self, filename_hash="./data/hash_points.ply",
+                      filename_voxel="./data/voxel_points.ply"):
+        self.streamer.serialize_data(filename_hash, filename_voxel)
+
+    def serializeGrid(self, filename="./serialized_grid.bin"):
+        self.streamer.serialize_grid(filename)
+
+    def deserializeGrid(self, filename="./serialized_grid.bin"):
+        self.streamer.deserialize_grid(filename)
+
+    # ------------------------------------------------------------------ getters
+    def getHashNumBuckets(self):
+        return self.state.table.num_buckets
+
+    def getNumSdfBlocks(self):
+        return self.cfg.num_blocks
+
+    def getHashBucketSize(self):
+        return P.HASH_BUCKET_SIZE
+
+    def getSdfTruncation(self):
+        return self.cfg.sdf_truncation
+
+    def getSdfTruncationScale(self):
+        return self.cfg.sdf_truncation_scale
+
+    def getIntegrationWeightSample(self):
+        return self.cfg.integration_weight_sample
+
+    def getIntegrationWeightMax(self):
+        return self.cfg.integration_weight_max
+
+    def getVirtualVoxelSize(self):
+        return self.cfg.virtual_voxel_size
+
+    def getLinkedListSize(self):
+        return P.LINKED_LIST_SIZE
+
+    def getNFramesInvalidateVoxels(self):
+        return self.cfg.n_frames_invalidate_voxels
+
+    def getMaxNumSdfBlockIntegrateFromGlobalHash(self):
+        return self.streamer.staging
+
+    def getVoxelExtentsScale(self):
+        return self.cfg.voxel_extents[0]
+
+    def getCurrPose(self):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = self.curr_rot
+        m[:3, 3] = self.curr_trans
+        return m
+
+    def getPointCloud(self):
+        return (None if self._points is None
+                else self._points[: self._num_points])
+
+    def getNormals(self):
+        return (None if self._normals is None
+                else self._normals[: self._num_points])
+
+    def getVertices(self):
+        return self.mesh.vertices
+
+    def getFaces(self):
+        return self.mesh.faces
+
+    def getColors(self):
+        return self.mesh.colors
+
+    # ------------------------------------------------------------------ setters
+    # The size setters rebuild the map state (the reference mutates the same
+    # fields before first use).
+    def _rebuild(self, **cfg_updates):
+        self.cfg = dataclasses.replace(self.cfg, **cfg_updates)
+        self.state = make_state(self.cfg.num_blocks)
+        self.streamer = Streamer(self.cfg, self.streamer.staging)
+        self._high_free = self.cfg.num_blocks
+
+    def setNumSdfBlocks(self, n):
+        self._rebuild(num_blocks=int(n))
+
+    def setHashNumBuckets(self, n):
+        self._rebuild(num_buckets=int(n))
+
+    def setHashBucketSize(self, n):
+        if int(n) != P.HASH_BUCKET_SIZE:
+            raise ValueError("hash bucket size is compile-time (params.py)")
+
+    def setSdfTruncation(self, v):
+        self.cfg = dataclasses.replace(self.cfg, sdf_truncation=float(v))
+
+    def setSdfTruncationScale(self, v):
+        self.cfg = dataclasses.replace(self.cfg, sdf_truncation_scale=float(v))
+
+    def setIntegrationWeightSample(self, v):
+        self.cfg = dataclasses.replace(self.cfg, integration_weight_sample=int(v))
+
+    def setIntegrationWeightMax(self, v):
+        self.cfg = dataclasses.replace(self.cfg, integration_weight_max=int(v))
+
+    def setVirtualVoxelSize(self, v):
+        self._rebuild(virtual_voxel_size=float(v))
+
+    def setLinkedListSize(self, v):
+        if int(v) != P.LINKED_LIST_SIZE:
+            raise ValueError("linked list size is compile-time (params.py)")
+
+    def setNFramesInvalidateVoxels(self, v):
+        self.cfg = dataclasses.replace(self.cfg, n_frames_invalidate_voxels=int(v))
+
+    def setMaxNumSdfBlockIntegrateFromGlobalHash(self, v):
+        self.streamer = Streamer(self.cfg, int(v))
+
+    def setVoxelExtentsScale(self, v):
+        self._rebuild(voxel_extents=(float(v),) * 3)

@@ -1,0 +1,129 @@
+"""GeoWrapper end-to-end: synthetic Replica-layout dataset on disk ->
+rgbd_runner -> mesh PLY -> evaluation harness (the offline quality protocol
+of mrhash/apps/eval_reconstruction.py)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+ROWS, COLS = 60, 80
+N_FRAMES = 4
+WALL_Z = 2.0
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("replica_like")
+    results = root / "results"
+    results.mkdir()
+    scaling = 6553.5
+    rng = np.random.default_rng(0)
+    poses = []
+    for i in range(N_FRAMES):
+        depth = np.full((ROWS, COLS), WALL_Z, np.float32)
+        raw = (depth * scaling).astype(np.uint16)
+        Image.fromarray(raw).save(results / f"depth{i:06d}.png")
+        rgb = np.full((ROWS, COLS, 3), 90, np.uint8)
+        rgb[:, : COLS // 2, 0] = 200
+        Image.fromarray(rgb).save(results / f"frame{i:06d}.jpg")
+        pose = np.eye(4)
+        pose[0, 3] = 0.02 * i  # slow lateral slide
+        poses.append(pose.reshape(-1))
+    np.savetxt(root / "traj.txt", np.asarray(poses), delimiter=" ")
+    return root
+
+
+@pytest.fixture(scope="module")
+def config_file(synthetic_dataset, tmp_path_factory):
+    out = tmp_path_factory.mktemp("results")
+    cfg = f"""
+map:
+    sdf_truncation            : 0.15
+    sdf_truncation_scale      : 0.0
+    integration_weight_sample : 1
+    n_frames_invalidate_voxels: 0
+    virtual_voxel_size        : 0.05
+streamer:
+    voxel_extents_scale       : 1
+mesh:
+    marching_cubes_threshold: 1.5
+    min_weight_threshold : 1
+    sdf_var_threshold : 0.0
+    vertices_merging_threshold : 0.0
+sensor:
+    min_depth : 0.01
+    max_depth : 5
+    intrinsics: [50.0, 50.0, {COLS / 2 - 0.5}, {ROWS / 2 - 0.5}]
+    resolution: [{COLS}, {ROWS}]
+    depth_scaling: 6553.5
+    hz: 30
+data_path: {synthetic_dataset}
+results_path: {out}
+end_frame: -1
+"""
+    path = tmp_path_factory.mktemp("cfg") / "test.cfg"
+    path.write_text(cfg)
+    return path, out
+
+
+def test_rgbd_runner_end_to_end(config_file):
+    from mrhash_tpu.apps import eval_utils
+    from mrhash_tpu.apps.eval_reconstruction import read_mesh_ply
+    from mrhash_tpu.apps.rgbd_runner import main
+
+    path, out = config_file
+    gw = main(str(path), num_blocks=8192, max_active_blocks=8192,
+              max_alloc_per_frame=2048, profiling=True)
+
+    meshes = list(out.glob("mesh_*.ply"))
+    assert len(meshes) == 1
+    verts, faces = read_mesh_ply(meshes[0])
+    assert verts.shape[0] > 100 and faces.shape[0] > 100
+
+    # quality vs the known synthetic wall: sample the mesh and compare to a
+    # dense GT plane grid (sub-voxel accuracy expected)
+    est = eval_utils.sample_mesh_points(verts, faces, 20000)
+    xs = np.linspace(verts[:, 0].min(), verts[:, 0].max(), 120)
+    ys = np.linspace(verts[:, 1].min(), verts[:, 1].max(), 120)
+    gx, gy = np.meshgrid(xs, ys)
+    gt = np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, WALL_Z)], 1)
+    rows = eval_utils.evaluate_reconstruction(est, gt)
+    r = rows[1]  # threshold 0.1 / truncation 0.2
+    assert r["accuracy_mae"] < 0.05
+    assert r["fscore"] > 0.9
+
+    # profiler output exists with the reference's line format
+    assert os.path.exists("integration_profiler.txt")
+    with open("integration_profiler.txt") as f:
+        parts = f.readline().split()
+    assert len(parts) == 4
+
+    # debug PLYs written
+    assert list(out.glob("hash_points_*.ply"))
+    assert list(out.glob("voxel_points_*.ply"))
+
+    # colors present on mesh vertices (left half red-ish)
+    cols = gw.getColors()
+    assert cols.shape[0] == gw.getVertices().shape[0]
+
+
+def test_streamer_example_app(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import yaml
+    cfg = dict(num_sdf_blocks=4096, max_integration_distance=3,
+               sdf_truncation=0.10, sdf_truncation_scale=0.0,
+               integration_weight_sample=1, virtual_voxel_size=0.02,
+               n_frames_invalidate_voxels=1, max_radius_for_stream=120,
+               max_num_sdf_block_integrate_from_global_hash=1024,
+               voxel_extents_scale=1, min_weight_threshold=1,
+               vertices_merging_threshold=0.0, sdf_var_threshold=0.0,
+               marching_cubes_threshold=1.4, min_depth=0.0, max_depth=3,
+               default_depth=1.17, rows=40, cols=48, translation_step=0.05,
+               steps=4)
+    p = tmp_path / "se.cfg"
+    p.write_text(yaml.safe_dump(cfg))
+    from mrhash_tpu.apps.streamer_example import main
+    gw = main(str(p))
+    assert gw.streamer.grid.num_blocks() > 0
