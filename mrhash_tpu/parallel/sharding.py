@@ -1,0 +1,240 @@
+"""Multi-chip SPMD mapping over a jax.sharding.Mesh.
+
+The reference is single-GPU (SURVEY 2, parallelism checklist) — this module
+is the TPU-native scale-out extension: spatial domain decomposition of the
+hash map combined with data parallelism over camera rays.
+
+Design (shard_map over a 1-D device mesh axis "d"):
+- rays (image rows) are data-parallel: each device DDA-walks its row shard
+  and emits candidate block keys;
+- the hash table, block heaps and voxel pool are model-parallel, sharded by
+  key ownership (avalanche(key) mod n_devices) — every block lives on
+  exactly one device, so integration writes are conflict-free across chips;
+- candidate keys are routed with one all_gather over ICI per allocation
+  round (the only per-frame collective on the hot path);
+- the garbage-collection z-buffer is merged with ppermute-free psum-style
+  min reductions (jax.lax.pmin) so starvation matches the single-chip
+  two-pass semantics.
+
+Camera images are replicated (tens of MB); map state (GBs) is what shards.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as PSpec
+
+from mrhash_tpu import params as P
+from mrhash_tpu.core.state import MapConfig, MapState, VoxelPool, make_state
+from mrhash_tpu.ops import camera as C
+from mrhash_tpu.ops import hashtable as H
+from mrhash_tpu.ops import integrate as I
+
+AXIS = "d"
+
+
+def owner_of(keys, n_dev):
+    """Deterministic device ownership of a block key."""
+    x = keys[..., 0].astype(jnp.uint32)
+    y = keys[..., 1].astype(jnp.uint32)
+    z = keys[..., 2].astype(jnp.uint32)
+    h = I._avalanche((x * jnp.uint32(P.P0)) ^ (y * jnp.uint32(P.P1))
+                     ^ (z * jnp.uint32(P.P2)))
+    return (h % jnp.uint32(n_dev)).astype(jnp.int32)
+
+
+def local_config(cfg: MapConfig, n_dev: int) -> MapConfig:
+    """Per-device capacities: each shard is a full map of 1/n size."""
+    import dataclasses
+    return dataclasses.replace(
+        cfg,
+        num_blocks=max(cfg.num_blocks // n_dev, 64),
+        max_active_blocks=max(cfg.max_active_blocks // n_dev, 64),
+        max_alloc_per_frame=max(cfg.max_alloc_per_frame // n_dev, 64),
+    )
+
+
+def make_sharded_state(cfg: MapConfig, mesh: Mesh) -> MapState:
+    """Global state whose arrays are sharded over the mesh: leading axes of
+    the table/pool split by device (each shard is an independent sub-map)."""
+    n = mesh.shape[AXIS]
+    lcfg = local_config(cfg, n)
+    state = make_state(lcfg.num_blocks * n)
+    # re-init: heap ids must be LOCAL to each shard
+    local = make_state(lcfg.num_blocks)
+
+    def rep(x):
+        return jnp.concatenate([x] * n, axis=0)
+
+    table = state.table.replace(
+        pos=rep(local.table.pos), ptr=rep(local.table.ptr),
+        res=rep(local.table.res), heap_high=rep(local.table.heap_high),
+        heap_low=rep(local.table.heap_low),
+        high_count=jnp.full((n,), local.table.high_count, jnp.int32),
+        low_count=jnp.zeros((n,), jnp.int32))
+    pool = VoxelPool(sdf=rep(local.pool.sdf), sumsq=rep(local.pool.sumsq),
+                     weight=rep(local.pool.weight), rgb=rep(local.pool.rgb))
+    state = MapState(table=table, pool=pool, frame=jnp.int32(0))
+
+    sharding = _fill_like(state, NamedSharding(mesh, PSpec(AXIS)),
+                          NamedSharding(mesh, PSpec()))
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), state, sharding)
+
+
+def _fill_like(state: MapState, shard, repl) -> MapState:
+    """A MapState-shaped tree with `shard` on sharded leaves and `repl` on
+    the frame counter (static aux fields copied from `state` so the treedefs
+    match)."""
+    table = state.table.replace(
+        pos=shard, ptr=shard, res=shard, heap_high=shard, heap_low=shard,
+        high_count=shard, low_count=shard)
+    pool = state.pool.replace(sdf=shard, sumsq=shard, weight=shard,
+                              rgb=shard)
+    return MapState(table=table, pool=pool, frame=repl)
+
+
+def _local_table(cfg_local: MapConfig, table: H.HashTable) -> H.HashTable:
+    return table.replace(high_count=table.high_count.reshape(())[()],
+                         low_count=table.low_count.reshape(())[()],
+                         num_buckets=cfg_local.num_blocks,
+                         num_blocks=cfg_local.num_blocks)
+
+
+def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
+    """Build the jitted SPMD frame step: (state, cam, depth, rgb) ->
+    (state', stats)."""
+    n = mesh.shape[AXIS]
+    lcfg = local_config(cfg, n)
+    num_steps = cfg.dda_steps(float(cfg.max_integration_distance))
+
+    def local_step(table_t, pool_t, frame, cam_t, depth, rgb):
+        table = _local_table(lcfg, table_t)
+        pool = pool_t
+        cam = cam_t
+        me = jax.lax.axis_index(AXIS)
+
+        pc = C.compute_cloud(cam, depth)
+        pc_depth = C.get_depth(cam, pc)
+        rows_local = cam.rows // n
+        my_rows = jax.lax.dynamic_slice_in_dim(pc_depth, me * rows_local,
+                                               rows_local, axis=0)
+
+        # --- allocation with key routing over ICI -----------------------
+        keys, valid = I.alloc_candidates_depth(lcfg, cam, my_rows, num_steps,
+                                               row0=me * rows_local)
+        for rnd in range(lcfg.alloc_rounds):
+            ukeys, uvalid = I.dedup_candidates(
+                keys, valid, frame * lcfg.alloc_rounds + rnd,
+                lcfg.max_alloc_per_frame * lcfg.dedup_scratch_factor,
+                lcfg.max_alloc_per_frame)
+            gk = jax.lax.all_gather(ukeys, AXIS).reshape(-1, 3)
+            gv = jax.lax.all_gather(uvalid, AXIS).reshape(-1)
+            mine = gv & (owner_of(gk, n) == me)
+            # re-dedup on the owner: several devices may each contribute the
+            # same key once (insert requires globally unique keys)
+            u = lcfg.max_alloc_per_frame
+            okeys, ovalid = I.dedup_candidates(
+                gk, mine, frame * lcfg.alloc_rounds + rnd,
+                u * lcfg.dedup_scratch_factor, u)
+            table, _ = H.insert(table, okeys, ovalid,
+                                jnp.zeros((u,), jnp.int32))
+
+        # --- local integrate over the full (replicated) frame ------------
+        slots, count, bpos, bptr, bres, bvalid = I.compact_active(
+            lcfg, table, cam)
+        pool = I.integrate_depth(lcfg, pool, cam, pc_depth, rgb,
+                                 bpos, bptr, bres, bvalid)
+
+        # --- garbage collection with a global z-buffer -------------------
+        if cfg.n_frames_invalidate_voxels > 0:
+            nf = cfg.n_frames_invalidate_voxels
+
+            def starve(pool):
+                return _sharded_starve(lcfg, pool, cam, bpos, bptr, bres,
+                                       bvalid)
+
+            pool = jax.lax.cond((frame > 0) & (frame % nf == 0), starve,
+                                lambda p: p, pool)
+            table, pool = I.garbage_collect_sweep(lcfg, table, pool, cam,
+                                                  slots, bpos, bptr, bres,
+                                                  bvalid)
+
+        count = jax.lax.psum(count, AXIS)
+        high_free = jax.lax.psum(table.high_count, AXIS)
+        gn = lcfg.num_blocks * n
+        table_out = table.replace(high_count=table.high_count.reshape(1),
+                                  low_count=table.low_count.reshape(1),
+                                  num_buckets=gn, num_blocks=gn)
+        stats = dict(occupied_blocks=count, high_free=high_free,
+                     low_free=jax.lax.psum(table.low_count, AXIS),
+                     frame=frame)
+        return table_out, pool, stats
+
+    def _sharded_starve(lcfg, pool, cam, bpos, bptr, bres, bvalid):
+        """starveVoxels with the depth z-buffer reduced across devices."""
+        vvs = lcfg.virtual_voxel_size
+        pi, lane_valid = I._block_voxel_grid(bpos, bres)
+        pf = pi.astype(jnp.float32) * vvs
+        pcam = C.world_to_cam(cam, pf)
+        row, col, ok = C.project_point(cam, pcam)
+        depth = C.get_depth(cam, pcam)
+        ok = ok & (depth >= cam.min_depth) & bvalid[:, None] & lane_valid
+        HW = cam.rows * cam.cols
+        pix = jnp.where(ok, row * cam.cols + col, HW).reshape(-1)
+        d = jnp.where(ok, depth, jnp.inf).reshape(-1)
+        zbuf = jnp.full((HW,), jnp.inf, jnp.float32).at[pix].min(
+            d, mode="drop")
+        zbuf = jax.lax.pmin(zbuf, AXIS)
+        me = jax.lax.axis_index(AXIS)
+        is_front = ok.reshape(-1) & (d == zbuf[jnp.where(pix < HW, pix, 0)])
+        # global tie-break: (device, local tid) lexicographic via offset ids
+        tid = (jnp.arange(d.shape[0], dtype=jnp.int32)
+               + me * d.shape[0])
+        tbuf = jnp.full((HW,), jnp.iinfo(jnp.int32).max, jnp.int32).at[
+            jnp.where(is_front, pix, HW)].min(tid, mode="drop")
+        tbuf = jax.lax.pmin(tbuf, AXIS)
+        starved = is_front & (tbuf[jnp.where(pix < HW, pix, 0)] == tid)
+        lanes = jnp.arange(P.TOTAL_SDF_BLOCK_SIZE, dtype=jnp.int32)
+        vidx = (bptr[:, None] + lanes[None, :]).reshape(-1)
+        dest = jnp.where(starved, vidx, pool.num_voxels)
+        w = pool.weight[jnp.where(starved, vidx, 0)]
+        return pool.replace(weight=pool.weight.at[dest].set(
+            jnp.maximum(0, w - 1), mode="drop"))
+
+    gn = lcfg.num_blocks * n
+    s = PSpec(AXIS)
+    specs = MapState(
+        table=H.HashTable(pos=s, ptr=s, res=s, heap_high=s, heap_low=s,
+                          high_count=s, low_count=s, num_buckets=gn,
+                          num_blocks=gn),
+        pool=VoxelPool(sdf=s, sumsq=s, weight=s, rgb=s), frame=PSpec())
+
+    sharded_cache = {}
+
+    def get_sharded(cam: C.Camera):
+        key = (cam.rows, cam.cols, cam.model)
+        if key not in sharded_cache:
+            cam_spec = jax.tree.map(lambda _: PSpec(), cam)
+            sharded_cache[key] = shard_map(
+                local_step, mesh=mesh,
+                in_specs=(specs.table, specs.pool, PSpec(), cam_spec,
+                          PSpec(), PSpec()),
+                out_specs=(specs.table, specs.pool,
+                           dict(occupied_blocks=PSpec(), high_free=PSpec(),
+                                low_free=PSpec(), frame=PSpec())),
+                check_vma=False)
+        return sharded_cache[key]
+
+    @jax.jit
+    def step(state: MapState, cam: C.Camera, depth, rgb):
+        table, pool, stats = get_sharded(cam)(
+            state.table, state.pool, state.frame, cam, depth, rgb)
+        new_state = MapState(table=table, pool=pool, frame=state.frame + 1)
+        return new_state, stats
+
+    return step
