@@ -1,0 +1,183 @@
+"""GaussianContainer: glue between the TSDF map and the 3DGS model.
+
+Re-derivation of mrhash/src/sdf/gaussian_data_structures.{cuh,cpp,cu}:
+per frame, quad-tree leaves over the RGB image seed new gaussians at
+back-projected leaf centers whose TSDF voxel was observed exactly once
+(weight == 1), with scale from the leaf footprint x depth / fx
+(gaussian_data_structures.cu:4-83); then kf_iters / non_kf_iters Adam steps
+of L1 loss on the current frame plus random keyframe replay
+(gaussian_data_structures.cpp:70-136).  optimizeGSFinal runs global passes
+with L1 + lambda * (1 - SSIM) (:158-183).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrhash_tpu.gs import losses
+from mrhash_tpu.gs.model import GaussianModel, OptimizationParams
+from mrhash_tpu.gs.quadtree import build_qtree
+from mrhash_tpu.gs.rasterizer import render
+from mrhash_tpu.ops import camera as C
+from mrhash_tpu.ops import meshing as M
+
+
+def _cam_dict(cam: C.Camera):
+    """GS camera from the mapping camera (setupGSCamera,
+    gaussian_data_structures.cpp:27-45): world-to-camera + pinhole."""
+    return dict(rot_w2c=cam.rot.T, t_w2c=-(cam.rot.T @ cam.trans),
+                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                W=cam.cols, H=cam.rows)
+
+
+def check_nodes(cfg, table, pool, cam: C.Camera, leaves, leaf_valid,
+                depth_img, rgb_img):
+    """processNodesKernel (gaussian_data_structures.cu:4-83): keep leaves
+    whose back-projected center lands in a once-observed TSDF voxel."""
+    x, y, w, h = leaves[:, 0], leaves[:, 1], leaves[:, 2], leaves[:, 3]
+    px = jnp.trunc(x + 0.5 * w + 0.5).astype(jnp.int32)
+    py = jnp.trunc(y + 0.5 * h + 0.5).astype(jnp.int32)
+    inside = leaf_valid & (px >= 0) & (py >= 0) & (px < cam.cols) & (
+        py < cam.rows)
+    pxs = jnp.where(inside, px, 0)
+    pys = jnp.where(inside, py, 0)
+    depth = depth_img[pys, pxs]
+    ok = inside & (depth >= cam.min_depth)
+
+    center = C.cam_to_world(
+        cam, C.inverse_projection(cam, pys.astype(jnp.float32),
+                                  pxs.astype(jnp.float32), depth))
+    _, weight, _, _, _ = M.get_voxel(cfg, table, pool, center)
+    ok = ok & (weight == 1)
+
+    scale = depth * jnp.sqrt((0.5 * w) ** 2 + (0.5 * h) ** 2) / cam.fx
+    ok = ok & (scale > 0.0)
+    color = rgb_img[pys, pxs]
+    return center, color, scale, ok
+
+
+class GaussianContainer:
+    def __init__(self, optimization_param_path: str, capacity: int = 1 << 19,
+                 qtree_capacity: int = 1 << 15):
+        self.p = OptimizationParams(optimization_param_path or None)
+        self.model = GaussianModel(self.p, capacity)
+        self.qtree_capacity = qtree_capacity
+        self.keyframes: list[tuple] = []   # (cam_dict, gt_img f32[3,H,W])
+        self._rng = np.random.default_rng(0)
+        self._check_nodes_jit = {}
+        self._train_jit = {}
+        self._qtree_jit = {}
+
+    # ------------------------------------------------------------------ jits
+    def _qtree(self, rgb_img):
+        key = rgb_img.shape[:2]
+        if key not in self._qtree_jit:
+            self._qtree_jit[key] = jax.jit(functools.partial(
+                build_qtree, threshold=self.p.qtree_thresh,
+                min_pixel_size=self.p.qtree_min_pixel_size,
+                max_leaves=self.qtree_capacity))
+        return self._qtree_jit[key](rgb_img)
+
+    def _train_step_fn(self, H, W):
+        if (H, W) not in self._train_jit:
+            tx = self.model.tx
+            sh_degree = self.p.sh_degree
+            bg = self.model.background
+
+            def loss_fn(params, count, cam_d, gt):
+                active = jnp.arange(params["xyz"].shape[0]) < count
+                img, _ = render(params, active, cam_d, bg, sh_degree)
+                return losses.l1_loss(img, gt)
+
+            @jax.jit
+            def step(params, opt_state, count, cam_d, gt):
+                loss, grads = jax.value_and_grad(loss_fn)(params, count,
+                                                          cam_d, gt)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                return params, opt_state, loss
+
+            self._train_jit[(H, W)] = step
+        return self._train_jit[(H, W)]
+
+    # ------------------------------------------------------------------ frame
+    def run_gs(self, cfg, cam: C.Camera, state, rgb_img_np, depth_img_np):
+        """runGS (gaussian_data_structures.cpp:138-156)."""
+        rgb = jnp.asarray(rgb_img_np, jnp.uint8)
+        depth = jnp.asarray(depth_img_np, jnp.float32)
+        cam_d = _cam_dict(cam)
+        gt = jnp.clip(rgb.astype(jnp.float32).transpose(2, 0, 1) / 255.0,
+                      0.0, 1.0)
+
+        leaves, leaf_valid, _, _ = self._qtree(rgb)
+        centers, colors, scales, ok = check_nodes(
+            cfg, state.table, state.pool, cam, leaves, leaf_valid, depth,
+            rgb)
+        okh = np.asarray(ok)
+        n_valid = int(okh.sum())
+        if n_valid:
+            self.model.add_gaussians(np.asarray(centers)[okh],
+                                     np.asarray(colors)[okh],
+                                     np.asarray(scales)[okh])
+        if self.model.count == 0:
+            return
+
+        is_keyframe = n_valid > self.p.kf_thresh
+        if is_keyframe or self.p.keep_all_frames:
+            self.keyframes.append((cam_d, gt))
+        iters = self.p.kf_iters if is_keyframe else self.p.non_kf_iters
+
+        step = self._train_step_fn(cam.rows, cam.cols)
+        m = self.model
+        for _ in range(iters):
+            m.params, m.opt_state, loss = step(m.params, m.opt_state,
+                                               m.count, cam_d, gt)
+        if not is_keyframe and self.keyframes:
+            k = min(self.p.random_kf_num, len(self.keyframes))
+            for i in self._rng.permutation(len(self.keyframes))[:k]:
+                kf_cam, kf_gt = self.keyframes[i]
+                m.params, m.opt_state, loss = step(m.params, m.opt_state,
+                                                   m.count, kf_cam, kf_gt)
+
+    # ------------------------------------------------------------------ final
+    def optimize_final(self):
+        """optimizeGSFinal (gaussian_data_structures.cpp:158-183): global
+        L1 + lambda*(1-SSIM) passes over all keyframes."""
+        if not self.keyframes or self.model.count == 0:
+            return
+        lam = self.p.lambda_dssim
+        tx = self.model.tx
+        sh_degree = self.p.sh_degree
+        bg = self.model.background
+
+        def loss_fn(params, count, cam_d, gt):
+            active = jnp.arange(params["xyz"].shape[0]) < count
+            img, _ = render(params, active, cam_d, bg, sh_degree)
+            return ((1.0 - lam) * losses.l1_loss(img, gt)
+                    + lam * (1.0 - losses.ssim(img, gt)))
+
+        @jax.jit
+        def step(params, opt_state, count, cam_d, gt):
+            loss, grads = jax.value_and_grad(loss_fn)(params, count, cam_d,
+                                                      gt)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return jax.tree.map(lambda p, u: p + u, params, updates), \
+                opt_state, loss
+
+        m = self.model
+        for _ in range(self.p.global_iters):
+            for cam_d, gt in self.keyframes:
+                m.params, m.opt_state, _ = step(m.params, m.opt_state,
+                                                m.count, cam_d, gt)
+
+    def render_view(self, cam: C.Camera):
+        active = self.model.active_mask
+        img, _ = render(self.model.params, active, _cam_dict(cam),
+                        self.model.background, self.p.sh_degree)
+        return img
+
+    def save_ply(self, folder, iteration=0):
+        return self.model.save_ply(folder, iteration)

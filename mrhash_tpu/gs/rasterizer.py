@@ -1,0 +1,277 @@
+"""Differentiable tile-based Gaussian rasterizer in JAX.
+
+Re-derivation of the Inria-derived CUDA rasterizer the reference embeds
+(mrhash/src/gs/cuda_rasterizer/src/{forward,backward,rasterizer_impl}.cu):
+- preprocess: SH->RGB (forward.cu:21-59), cov3D from scale/quat (:97-135),
+  EWA cov2D with the 1.3*tan_fov clamp and +0.3 low-pass (:62-92), conic /
+  3-sigma radius / tile rect (:204-241);
+- binning: the CUB [tile|depth] radix sort (rasterizer_impl.cu:65-121)
+  becomes one jax.lax.sort over (tile, depth) keys of a bounded
+  (gaussian, tile) pair expansion;
+- blending: the 16x16-tile front-to-back compositing loop (forward.cu:
+  249-356) becomes a lax.scan over the per-tile depth-sorted list; the
+  backward pass falls out of autodiff through the scan (replacing
+  backward.cu's hand-written gradients).
+
+Bounded-capacity deviations (documented): a gaussian touches at most
+MAX_TILES_PER_GAUSSIAN tiles and a tile blends at most max_per_tile
+gaussians (front-most first — the tail beyond the cap is usually past the
+early-termination transmittance anyway).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+BLOCK = 16                      # tile size (config.h:16-17)
+MAX_TILES_SIDE = 8              # per-gaussian tile rect cap (8x8 tiles)
+ALPHA_THRESHOLD = 1.0 / 255.0
+ALPHA_MIN = 1e-4
+
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+         -1.0925484305920792, 0.5462742152960396)
+SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+         0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+         -0.5900435899266435)
+
+
+def rgb2sh(rgb):
+    return (rgb - 0.5) / SH_C0
+
+
+def sh2rgb(sh):
+    return sh * SH_C0 + 0.5
+
+
+def eval_sh(deg, sh, dirs):
+    """computeColorFromSH (forward.cu:21-59).  sh: [G, (deg+1)^2, 3],
+    dirs: [G,3] unit.  Returns clamped-positive RGB [G,3]."""
+    result = SH_C0 * sh[:, 0]
+    if deg > 0:
+        x, y, z = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
+        result = (result - SH_C1 * y * sh[:, 1] + SH_C1 * z * sh[:, 2]
+                  - SH_C1 * x * sh[:, 3])
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (result + SH_C2[0] * xy * sh[:, 4]
+                      + SH_C2[1] * yz * sh[:, 5]
+                      + SH_C2[2] * (2 * zz - xx - yy) * sh[:, 6]
+                      + SH_C2[3] * xz * sh[:, 7]
+                      + SH_C2[4] * (xx - yy) * sh[:, 8])
+            if deg > 2:
+                result = (result
+                          + SH_C3[0] * y * (3 * xx - yy) * sh[:, 9]
+                          + SH_C3[1] * xy * z * sh[:, 10]
+                          + SH_C3[2] * y * (4 * zz - xx - yy) * sh[:, 11]
+                          + SH_C3[3] * z * (2 * zz - 3 * xx - 3 * yy)
+                          * sh[:, 12]
+                          + SH_C3[4] * x * (4 * zz - xx - yy) * sh[:, 13]
+                          + SH_C3[5] * z * (xx - yy) * sh[:, 14]
+                          + SH_C3[6] * x * (xx - 3 * yy) * sh[:, 15])
+    return jnp.maximum(result + 0.5, 0.0)
+
+
+def quat_to_rot(q):
+    """build_rotation with the reference's (w, x, y, z) layout and no
+    normalization (forward.cu:106-121)."""
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z),
+                   2 * (x * z + r * y)], -1),
+        jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - r * x)], -1),
+        jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x),
+                   1 - 2 * (x * x + y * y)], -1)], -2)
+
+
+def compute_cov3d(scale, quat, modifier=1.0):
+    """computeCov3D (forward.cu:97-135): Sigma = (S R)^T (S R) with S the
+    diagonal scale.  Returns full [G,3,3]."""
+    R = quat_to_rot(quat)                      # [G,3,3]
+    M = scale[..., :, None] * R * modifier     # S @ R rows scaled
+    return jnp.einsum("gij,gik->gjk", M, M)    # M^T M
+
+
+def compute_cov2d(p_view, fx, fy, tan_fovx, tan_fovy, cov3d, rot_w2c):
+    """computeCov2D EWA + 0.3 low-pass (forward.cu:62-92).
+    p_view: [G,3] camera-frame points; rot_w2c: [3,3].
+    Returns (a, b, c) of the symmetric 2x2 [G,3]."""
+    tz = p_view[:, 2]
+    tzs = jnp.where(tz == 0, 1e-6, tz)
+    txtz = jnp.clip(p_view[:, 0] / tzs, -1.3 * tan_fovx, 1.3 * tan_fovx)
+    tytz = jnp.clip(p_view[:, 1] / tzs, -1.3 * tan_fovy, 1.3 * tan_fovy)
+    tx = txtz * tz
+    ty = tytz * tz
+    z2 = tzs * tzs
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack([
+        jnp.stack([fx / tzs, zeros, -(fx * tx) / z2], -1),
+        jnp.stack([zeros, fy / tzs, -(fy * ty) / z2], -1)], -2)  # [G,2,3]
+    T = jnp.einsum("gij,jk->gik", J, rot_w2c)                     # [G,2,3]
+    cov = jnp.einsum("gij,gjk,glk->gil", T, cov3d, T)             # [G,2,2]
+    a = cov[:, 0, 0] + 0.3
+    c = cov[:, 1, 1] + 0.3
+    b = cov[:, 0, 1]
+    return a, b, c
+
+
+def preprocess(params, active, cam, sh_degree):
+    """preprocessCUDA (forward.cu:139-241).  cam: dict(rot_w2c, t_w2c, fx,
+    fy, cx, cy, W, H).  Returns per-gaussian attrs + validity."""
+    xyz = params["xyz"]
+    p_view = xyz @ cam["rot_w2c"].T + cam["t_w2c"]
+    depth = p_view[:, 2]
+    in_front = depth > 0.2
+
+    zs = jnp.where(depth == 0, 1e-6, depth)
+    px = cam["fx"] * p_view[:, 0] / zs + cam["cx"] - 0.5
+    py = cam["fy"] * p_view[:, 1] / zs + cam["cy"] - 0.5
+    point_image = jnp.stack([px, py], -1)
+
+    scale = jnp.exp(params["scaling"])
+    cov3d = compute_cov3d(scale, params["rotation"])
+    tan_fovx = cam["W"] / (2.0 * cam["fx"])
+    tan_fovy = cam["H"] / (2.0 * cam["fy"])
+    a, b, c = compute_cov2d(p_view, cam["fx"], cam["fy"], tan_fovx, tan_fovy,
+                            cov3d, cam["rot_w2c"])
+    det = a * c - b * b
+    det_ok = det != 0.0
+    det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], -1)
+
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, mid - jnp.sqrt(
+        jnp.maximum(0.1, mid * mid - det)))))
+
+    cam_center = -(cam["t_w2c"] @ cam["rot_w2c"])
+    dirs = xyz - cam_center
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                              1e-9)
+    sh = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+    rgb = eval_sh(sh_degree, sh, dirs)
+
+    opacity = jax.nn.sigmoid(params["opacity"][:, 0])
+    valid = active & in_front & det_ok & (radius > 0)
+    return dict(xy=point_image, conic=conic, opacity=opacity, rgb=rgb,
+                depth=depth, radius=radius, valid=valid)
+
+
+def _tile_pairs(attrs, grid_x, grid_y):
+    """duplicateWithKeys (rasterizer_impl.cu:65-96) with a static per-
+    gaussian cap of MAX_TILES_SIDE^2 tiles.  Returns (tile_id, depth, gidx,
+    pair_valid), all [G * MAX_TILES_SIDE^2]."""
+    xy = attrs["xy"]
+    r = attrs["radius"]
+    rect_min_x = jnp.clip(((xy[:, 0] - r) / BLOCK).astype(jnp.int32), 0,
+                          grid_x)
+    rect_min_y = jnp.clip(((xy[:, 1] - r) / BLOCK).astype(jnp.int32), 0,
+                          grid_y)
+    rect_max_x = jnp.clip(((xy[:, 0] + r + BLOCK - 1) / BLOCK
+                           ).astype(jnp.int32), 0, grid_x)
+    rect_max_y = jnp.clip(((xy[:, 1] + r + BLOCK - 1) / BLOCK
+                           ).astype(jnp.int32), 0, grid_y)
+
+    s = MAX_TILES_SIDE
+    dx = jnp.arange(s, dtype=jnp.int32)
+    dy = jnp.arange(s, dtype=jnp.int32)
+    tx = rect_min_x[:, None, None] + dx[None, None, :]
+    ty = rect_min_y[:, None, None] + dy[None, :, None]
+    ok = (attrs["valid"][:, None, None]
+          & (tx < rect_max_x[:, None, None])
+          & (ty < rect_max_y[:, None, None]))
+    tile = ty * grid_x + tx
+    G = xy.shape[0]
+    gidx = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[:, None, None],
+                            tile.shape)
+    return (tile.reshape(-1), jnp.broadcast_to(
+        attrs["depth"][:, None, None], tile.shape).reshape(-1),
+        gidx.reshape(-1), ok.reshape(-1))
+
+
+def render(params, active, cam, bg_color, sh_degree, max_per_tile=128):
+    """Full forward render -> (image f32[3,H,W], radii [G]).  Differentiable
+    w.r.t. params through the gathered per-gaussian attributes."""
+    H, W = cam["H"], cam["W"]
+    grid_x = (W + BLOCK - 1) // BLOCK
+    grid_y = (H + BLOCK - 1) // BLOCK
+    n_tiles = grid_x * grid_y
+
+    attrs = preprocess(params, active, cam, sh_degree)
+    tile, depth, gidx, ok = _tile_pairs(attrs, grid_x, grid_y)
+
+    # sort pairs by (tile, depth); invalid pairs sort to the end
+    sort_tile = jnp.where(ok, tile, n_tiles)
+    sort_tile, depth_s, gidx_s = jax.lax.stop_gradient(jax.lax.sort(
+        (sort_tile, depth, gidx), num_keys=2))
+
+    # per-tile ranges (identifyTileRanges, rasterizer_impl.cu:101-121)
+    npairs = sort_tile.shape[0]
+    first = jnp.concatenate([jnp.asarray([True]),
+                             sort_tile[1:] != sort_tile[:-1]])
+    starts = jnp.full((n_tiles + 1,), npairs, jnp.int32).at[
+        jnp.where(first, sort_tile, n_tiles)].min(
+        jnp.arange(npairs, dtype=jnp.int32), mode="drop")
+    counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[sort_tile].add(
+        1, mode="drop")
+
+    # per-tile bounded gather of the front-most max_per_tile gaussians
+    k = jnp.arange(max_per_tile, dtype=jnp.int32)
+    lidx = starts[:n_tiles, None] + k[None, :]              # [T,K]
+    lvalid = k[None, :] < jnp.minimum(counts[:n_tiles, None], max_per_tile)
+    lidx = jnp.where(lvalid, lidx, 0)
+    gl = gidx_s[lidx]                                        # [T,K]
+
+    txy = attrs["xy"][gl]            # [T,K,2]
+    tconic = attrs["conic"][gl]      # [T,K,3]
+    topac = attrs["opacity"][gl]     # [T,K]
+    trgb = attrs["rgb"][gl]          # [T,K,3]
+
+    # pixel coordinates per tile [T, 256, 2]
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_x0 = (tids % grid_x) * BLOCK
+    tile_y0 = (tids // grid_x) * BLOCK
+    pin = jnp.arange(BLOCK * BLOCK, dtype=jnp.int32)
+    pixf = jnp.stack(
+        [(tile_x0[:, None] + pin[None, :] % BLOCK).astype(jnp.float32),
+         (tile_y0[:, None] + pin[None, :] // BLOCK).astype(jnp.float32)], -1)
+
+    def blend_step(carry, inputs):
+        T, C = carry                               # [T,256], [T,256,3]
+        xy, con, op, rgb, v = inputs               # per-k slices
+        d = xy[:, None, :] - pixf                  # [T,256,2]
+        power = (-0.5 * con[:, None, 0] * d[..., 0] * d[..., 0]
+                 - 0.5 * con[:, None, 2] * d[..., 1] * d[..., 1]
+                 - con[:, None, 1] * d[..., 0] * d[..., 1])
+        alpha = jnp.minimum(0.99, op[:, None] * jnp.exp(power))
+        use = (v[:, None] & (power <= 0.0) & (alpha >= ALPHA_THRESHOLD)
+               & (T >= ALPHA_MIN))
+        test_T = T * (1.0 - alpha)
+        # reference: a gaussian pushing T below ALPHA_MIN is NOT blended
+        contrib = jnp.where(use & (test_T >= ALPHA_MIN), alpha * T, 0.0)
+        C = C + contrib[..., None] * rgb[:, None, :]
+        T = jnp.where(use & (test_T >= ALPHA_MIN), test_T, T)
+        return (T, C), None
+
+    T0 = jnp.ones((n_tiles, BLOCK * BLOCK), jnp.float32)
+    C0 = jnp.zeros((n_tiles, BLOCK * BLOCK, 3), jnp.float32)
+    (Tfin, Cfin), _ = jax.lax.scan(
+        blend_step, (T0, C0),
+        (jnp.moveaxis(txy, 1, 0), jnp.moveaxis(tconic, 1, 0),
+         jnp.moveaxis(topac, 1, 0), jnp.moveaxis(trgb, 1, 0),
+         jnp.moveaxis(lvalid, 1, 0)))
+
+    out = Cfin + Tfin[..., None] * bg_color[None, None, :]
+
+    # un-tile to [H, W, 3] then channel-first like the reference
+    Hp, Wp = grid_y * BLOCK, grid_x * BLOCK
+    img = out.reshape(grid_y, grid_x, BLOCK, BLOCK, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 3)[:H, :W]
+    radii = jnp.where(attrs["valid"], attrs["radius"], 0.0)
+    return img.transpose(2, 0, 1), radii
