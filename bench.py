@@ -43,6 +43,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mrhash_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from mrhash_tpu.core import pipeline
     from mrhash_tpu.core.state import MapConfig, make_state
     from mrhash_tpu.ops import camera as C

@@ -1,0 +1,26 @@
+"""Persistent XLA compilation cache setup.
+
+The axon TPU path compiles remotely with ~40s+ fixed overhead per program;
+the per-frame pipeline is one large program, so a persistent cache makes
+benchmark and app startup practical (first compile is cached under
+.jax_cache at the repo root).
+"""
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache():
+    import jax
+
+    cache_dir = os.environ.get(
+        "MRHASH_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache flags may move across jax versions
+        print(f"compilation cache unavailable: {e}")
