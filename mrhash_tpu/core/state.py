@@ -24,23 +24,64 @@ from mrhash_tpu.ops import hashtable as H
 
 @struct.dataclass
 class VoxelPool:
-    sdf: jax.Array     # f32[NV]
-    sumsq: jax.Array   # f32[NV]
-    weight: jax.Array  # i32[NV] (u8 semantics)
-    rgb: jax.Array     # u8[NV,3]
+    """Row-structured SoA: one 512-lane row per high block.
+
+    TPU performance note: XLA's element-wise dynamic gather/scatter runs at
+    ~40M elem/s on v5e, while whole-row (slice) gathers run at HBM
+    bandwidth — so the hot paths address the pool as [N, 512] rows keyed by
+    block id.  ptr semantics stay flat (ptr = row*512 + lane0, with res-1
+    blocks occupying 64-lane windows carved 8-per-row, matching the
+    reference's heap_low carving, voxel_data_structures.cu:859-871);
+    `flat_*` views (free reshapes) serve random-access paths (meshing,
+    LiDAR DDA, streaming payloads)."""
+    sdf: jax.Array     # f32[N,512]
+    sumsq: jax.Array   # f32[N,512]
+    weight: jax.Array  # i32[N,512] (u8 semantics)
+    rgb: jax.Array     # u8[N,512,3]
 
     @property
     def num_voxels(self) -> int:
-        return self.sdf.shape[0]
+        return self.sdf.shape[0] * self.sdf.shape[1]
+
+    # flat (bitcast) views for element-wise access
+    @property
+    def flat_sdf(self):
+        return self.sdf.reshape(-1)
+
+    @property
+    def flat_sumsq(self):
+        return self.sumsq.reshape(-1)
+
+    @property
+    def flat_weight(self):
+        return self.weight.reshape(-1)
+
+    @property
+    def flat_rgb(self):
+        return self.rgb.reshape(-1, 3)
+
+    def with_flat(self, sdf=None, sumsq=None, weight=None, rgb=None):
+        """Replace fields from flat arrays (reshape back to rows)."""
+        shape = self.sdf.shape
+        kw = {}
+        if sdf is not None:
+            kw["sdf"] = sdf.reshape(shape)
+        if sumsq is not None:
+            kw["sumsq"] = sumsq.reshape(shape)
+        if weight is not None:
+            kw["weight"] = weight.reshape(shape)
+        if rgb is not None:
+            kw["rgb"] = rgb.reshape(shape + (3,))
+        return self.replace(**kw)
 
 
 def make_pool(num_blocks: int) -> VoxelPool:
-    nv = num_blocks * P.TOTAL_SDF_BLOCK_SIZE
+    n, L = num_blocks, P.TOTAL_SDF_BLOCK_SIZE
     return VoxelPool(
-        sdf=jnp.zeros((nv,), jnp.float32),
-        sumsq=jnp.zeros((nv,), jnp.float32),
-        weight=jnp.zeros((nv,), jnp.int32),
-        rgb=jnp.zeros((nv, 3), jnp.uint8),
+        sdf=jnp.zeros((n, L), jnp.float32),
+        sumsq=jnp.zeros((n, L), jnp.float32),
+        weight=jnp.zeros((n, L), jnp.int32),
+        rgb=jnp.zeros((n, L, 3), jnp.uint8),
     )
 
 

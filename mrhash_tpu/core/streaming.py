@@ -71,14 +71,14 @@ def collect_evicted(cfg: MapConfig, staging: int, table: H.HashTable, pool,
 
     lanes = jnp.arange(LANES, dtype=jnp.int32)
     vidx = jnp.where(valid[:, None], ptrs[:, None] + lanes[None, :], 0)
-    out_sdf = pool.sdf[vidx]
-    out_ssq = pool.sumsq[vidx]
-    out_w = pool.weight[vidx]
-    out_rgb = pool.rgb[vidx]
+    out_sdf = pool.flat_sdf[vidx]
+    out_ssq = pool.flat_sumsq[vidx]
+    out_w = pool.flat_weight[vidx]
+    out_rgb = pool.flat_rgb[vidx]
 
-    table, fptrs, _, freed = H.free_slots(table, slot_buf, valid)
+    table, fptrs, fres, freed = H.free_slots(table, slot_buf, valid)
     from mrhash_tpu.ops.integrate import _clear_blocks
-    pool = _clear_blocks(pool, fptrs, freed)
+    pool = _clear_blocks(pool, fptrs, fres, freed)
     return (table, pool, out_pos, out_res, n, out_sdf, out_ssq, out_w,
             out_rgb, n_total - n)
 
@@ -97,11 +97,11 @@ def insert_blocks(cfg: MapConfig, staging: int, table: H.HashTable, pool,
     lane_ok = new[:, None] & (lanes[None, :] < nvox[:, None])
     vidx = jnp.where(lane_ok, ptr[:, None] + lanes[None, :],
                      pool.num_voxels).reshape(-1)
-    pool = pool.replace(
-        sdf=pool.sdf.at[vidx].set(sdf.reshape(-1), mode="drop"),
-        sumsq=pool.sumsq.at[vidx].set(ssq.reshape(-1), mode="drop"),
-        weight=pool.weight.at[vidx].set(w.reshape(-1), mode="drop"),
-        rgb=pool.rgb.at[vidx].set(rgb.reshape(-1, 3), mode="drop"))
+    pool = pool.with_flat(
+        sdf=pool.flat_sdf.at[vidx].set(sdf.reshape(-1), mode="drop"),
+        sumsq=pool.flat_sumsq.at[vidx].set(ssq.reshape(-1), mode="drop"),
+        weight=pool.flat_weight.at[vidx].set(w.reshape(-1), mode="drop"),
+        rgb=pool.flat_rgb.at[vidx].set(rgb.reshape(-1, 3), mode="drop"))
     return table, pool, jnp.sum(new.astype(jnp.int32))
 
 

@@ -239,21 +239,77 @@ def compact_active(cfg: MapConfig, table: H.HashTable, cam: C.Camera = None):
     return slots, count, table.pos[safe], table.ptr[safe], table.res[safe], bvalid
 
 
-def _block_voxel_grid(bpos, bres):
-    """Virtual-voxel coords + lane validity for each lane of each block.
+LANES = P.TOTAL_SDF_BLOCK_SIZE
+
+
+def _block_rows(bptr, bvalid):
+    """Pool row + intra-row window start of each block (ptr = row*512 +
+    lane0; lane0 is 0 for res-0 and a 64-multiple for carved res-1)."""
+    row = jnp.where(bvalid, bptr // LANES, 0)
+    lane0 = jnp.where(bvalid, bptr % LANES, 0)
+    return row, lane0
+
+
+def _block_voxel_grid(bpos, bres, lane0=None):
+    """Virtual-voxel coords + lane validity for each ROW lane of each block.
 
     Mirrors the scaling_factor * delinearize(idx, 8/scaling) layout of
     integrateDepthMapKernel (voxel_data_structures.cu:1114-1118), with the
-    dense res-1 indexing fix (see ops/coords.py).
+    dense res-1 indexing fix (see ops/coords.py).  With lane0 given, lanes
+    address the block's row window (res-1 blocks live at a 64-lane offset
+    inside a shared row); without, windows start at lane 0.
     Returns (pi i32[A,512,3], lane_valid bool[A,512])."""
-    lanes = jnp.arange(P.TOTAL_SDF_BLOCK_SIZE, dtype=jnp.int32)
-    local8 = X.delinearize_voxel_pos(lanes, P.SDF_BLOCK_SIZE)       # [512,3]
-    local4 = X.delinearize_voxel_pos(lanes, P.LOW_BLOCK_SIZE) * 2   # [512,3]
+    lanes = jnp.arange(LANES, dtype=jnp.int32)
+    local = (lanes[None, :] if lane0 is None
+             else lanes[None, :] - lane0[:, None])           # [A,512]
     is_low = (bres == 1)[:, None]
-    offs = jnp.where(is_low[..., None], local4[None], local8[None])
+    nvox = jnp.where(is_low, P.TOTAL_LOW_BLOCK_SIZE, LANES)
+    lane_valid = (local >= 0) & (local < nvox)
+    safe = jnp.clip(local, 0, LANES - 1)
+    off8 = X.delinearize_voxel_pos(safe, P.SDF_BLOCK_SIZE)          # [A,512,3]
+    off4 = X.delinearize_voxel_pos(jnp.clip(local, 0,
+                                            P.TOTAL_LOW_BLOCK_SIZE - 1),
+                                   P.LOW_BLOCK_SIZE) * 2
+    offs = jnp.where(is_low[..., None], off4, off8)
     pi = X.sdf_block_to_virtual_voxel_pos(bpos)[:, None, :] + offs
-    lane_valid = jnp.where(is_low, lanes < P.TOTAL_LOW_BLOCK_SIZE, True)
     return pi, lane_valid
+
+
+def _scatter_block_rows(pool: VoxelPool, row, bres, bvalid, update_mask,
+                        new, old):
+    """Write per-block lane updates back to the pool the fast way:
+    whole-row scatters for res-0 blocks (their rows are unique), element-
+    wise window scatters for the (minority) res-1 blocks sharing carved
+    rows.  `new`/`old` are dicts of [A,512(,3)] lane values; update_mask
+    [A,512] selects the lanes to change."""
+    n_rows = pool.sdf.shape[0]
+    is0 = bvalid & (bres == 0)
+    is1 = bvalid & (bres == 1)
+    row0 = jnp.where(is0, row, n_rows)
+
+    lanes = jnp.arange(LANES, dtype=jnp.int32)
+    flat_idx = row[:, None] * LANES + lanes[None, :]
+    w_mask = update_mask & is1[:, None]
+    flat_dest = jnp.where(w_mask, flat_idx, pool.num_voxels).reshape(-1)
+
+    out = {}
+    for name, new_vals in new.items():
+        m = (update_mask[..., None] if new_vals.ndim == 3 else update_mask)
+        full = jnp.where(m, new_vals, old[name])
+        arr = getattr(pool, name)
+        arr = arr.at[row0].set(full, mode="drop", unique_indices=True)
+        flat_shape = (-1, 3) if new_vals.ndim == 3 else (-1,)
+        flat = arr.reshape(flat_shape).at[flat_dest].set(
+            new_vals.reshape(flat_shape), mode="drop")
+        out[name] = flat.reshape(arr.shape)
+    return pool.replace(**out)
+
+
+def _gather_block_rows(pool: VoxelPool, row):
+    """Row gathers of all voxel fields for the given blocks (near-bandwidth
+    on TPU vs ~40M elem/s for element-wise gathers)."""
+    return dict(sdf=pool.sdf[row], sumsq=pool.sumsq[row],
+                weight=pool.weight[row], rgb=pool.rgb[row])
 
 
 def _sample_image(img_flat, rows, cols, W, ok):
@@ -268,10 +324,11 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     accumulate Welford-style variance in sum_squared.
 
     The reference's benign read-modify-write race on sum_squared becomes an
-    exact sequential update (one program per voxel)."""
+    exact sequential update (one program per voxel).  Pool access is
+    row-structured (see VoxelPool)."""
     vvs = cfg.virtual_voxel_size
-    A = bpos.shape[0]
-    pi, lane_valid = _block_voxel_grid(bpos, bres)          # [A,512,...]
+    prow, lane0 = _block_rows(bptr, bvalid)
+    pi, lane_valid = _block_voxel_grid(bpos, bres, lane0)   # [A,512,...]
     pf = X.virtual_voxel_pos_to_world(vvs, pi)
     pcam = C.world_to_cam(cam, pf)
     row, col, ok = C.project_point(cam, pcam)
@@ -289,13 +346,8 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
 
     update = bvalid[:, None] & lane_valid & depth_ok & inside
 
-    vidx = bptr[:, None] + jnp.arange(P.TOTAL_SDF_BLOCK_SIZE,
-                                      dtype=jnp.int32)[None, :]
-    vidx_safe = jnp.where(bvalid[:, None], vidx, pool.num_voxels - 1)
-    sdf0 = pool.sdf[vidx_safe]
-    w0 = pool.weight[vidx_safe]
-    ssq0 = pool.sumsq[vidx_safe]
-    rgb0 = pool.rgb[vidx_safe]
+    old = _gather_block_rows(pool, prow)
+    sdf0, w0, ssq0, rgb0 = old["sdf"], old["weight"], old["sumsq"], old["rgb"]
 
     # Welford accumulation (voxel_data_structures.cu:1162-1180); deltas are
     # normalized by half a voxel.
@@ -310,17 +362,9 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     delta2 = (sdf - m_sdf) / half_voxel
     m_ssq = ssq0 + delta * delta2
 
-    out_sdf = jnp.where(update, m_sdf, sdf0)
-    out_w = jnp.where(update, m_w, w0)
-    out_ssq = jnp.where(update, m_ssq, ssq0)
-    out_rgb = jnp.where(update[..., None], m_rgb, rgb0)
-
-    dest = jnp.where(bvalid[:, None], vidx, pool.num_voxels).reshape(-1)
-    return pool.replace(
-        sdf=pool.sdf.at[dest].set(out_sdf.reshape(-1), mode="drop"),
-        weight=pool.weight.at[dest].set(out_w.reshape(-1), mode="drop"),
-        sumsq=pool.sumsq.at[dest].set(out_ssq.reshape(-1), mode="drop"),
-        rgb=pool.rgb.at[dest].set(out_rgb.reshape(-1, 3), mode="drop"))
+    return _scatter_block_rows(
+        pool, prow, bres, bvalid, update,
+        dict(sdf=m_sdf, weight=m_w, sumsq=m_ssq, rgb=m_rgb), old)
 
 
 def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
@@ -408,21 +452,22 @@ def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
 
     hit = acc_w > 0
     batch_sdf = acc_sw / jnp.where(hit, acc_w, 1.0)
-    w0 = pool.weight
-    sdf0 = pool.sdf
+    w0 = pool.flat_weight
+    sdf0 = pool.flat_sdf
     half_voxel = jnp.float32(vvs / 2.0)
     # 3D kernel quirk kept: curr_mean stays 0 for never-touched voxels
     curr_mean = jnp.where(w0 > 0, sdf0, 0.0)
     delta = (batch_sdf - curr_mean) / half_voxel
     w0f = w0.astype(jnp.float32)
-    m_sdf = (sdf0 * w0f + acc_sw) / (w0f + acc_w)
+    m_sdf = (sdf0 * w0f + acc_sw) / jnp.maximum(w0f + acc_w, 1e-20)
     m_w = jnp.minimum(cfg.integration_weight_max,
                       w0 + acc_w.astype(jnp.int32))
     delta2 = (batch_sdf - m_sdf) / half_voxel
-    return pool.replace(
+    return pool.with_flat(
         sdf=jnp.where(hit, m_sdf, sdf0),
         weight=jnp.where(hit, m_w, w0),
-        sumsq=jnp.where(hit, pool.sumsq + delta * delta2, pool.sumsq))
+        sumsq=jnp.where(hit, pool.flat_sumsq + delta * delta2,
+                        pool.flat_sumsq))
 
 
 # ---------------------------------------------------------------------------
@@ -435,7 +480,8 @@ def starve_voxels(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     1596-1671): the front-most voxel per pixel (lowest program id on depth
     ties, for reproducibility) gets its weight decremented."""
     vvs = cfg.virtual_voxel_size
-    pi, lane_valid = _block_voxel_grid(bpos, bres)
+    prow, lane0 = _block_rows(bptr, bvalid)
+    pi, lane_valid = _block_voxel_grid(bpos, bres, lane0)
     pf = X.virtual_voxel_pos_to_world(vvs, pi)
     pcam = C.world_to_cam(cam, pf)
     row, col, ok = C.project_point(cam, pcam)
@@ -451,27 +497,32 @@ def starve_voxels(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     tid = jnp.arange(d.shape[0], dtype=jnp.int32)
     tbuf = jnp.full((HW,), jnp.iinfo(jnp.int32).max, jnp.int32).at[
         jnp.where(is_front, pix, HW)].min(tid, mode="drop")
-    starved = is_front & (tbuf[jnp.where(pix < HW, pix, 0)] == tid)
+    starved = (is_front
+               & (tbuf[jnp.where(pix < HW, pix, 0)] == tid)).reshape(
+        (-1, LANES))
 
-    vidx = (bptr[:, None]
-            + jnp.arange(P.TOTAL_SDF_BLOCK_SIZE, dtype=jnp.int32)).reshape(-1)
-    dest = jnp.where(starved, vidx, pool.num_voxels)
-    w = pool.weight[jnp.where(starved, vidx, 0)]
-    return pool.replace(weight=pool.weight.at[dest].set(
-        jnp.maximum(0, w - 1), mode="drop"))
+    w0 = pool.weight[prow]
+    return _scatter_block_rows(
+        pool, prow, bres, bvalid, starved,
+        dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0))
 
 
-def _clear_blocks(pool: VoxelPool, bptr, mask):
-    """deleteVoxel over whole blocks (voxel_data_structures.cu:1838-1842)."""
-    vidx = bptr[:, None] + jnp.arange(P.TOTAL_SDF_BLOCK_SIZE,
-                                      dtype=jnp.int32)[None, :]
-    dest = jnp.where(mask[:, None], vidx, pool.num_voxels).reshape(-1)
-    z = jnp.zeros_like(dest, dtype=jnp.float32)
-    return pool.replace(
-        sdf=pool.sdf.at[dest].set(z, mode="drop"),
-        sumsq=pool.sumsq.at[dest].set(z, mode="drop"),
-        weight=pool.weight.at[dest].set(0, mode="drop"),
-        rgb=pool.rgb.at[dest].set(0, mode="drop"))
+def _clear_blocks(pool: VoxelPool, bptr, bres, mask):
+    """deleteVoxel over whole blocks (voxel_data_structures.cu:1838-1842):
+    zero the freed blocks' rows (res-0) / row windows (res-1)."""
+    A = bptr.shape[0]
+    prow, lane0 = _block_rows(bptr, mask)
+    lanes = jnp.arange(LANES, dtype=jnp.int32)
+    local = lanes[None, :] - lane0[:, None]
+    nvox = jnp.where(bres == 1, P.TOTAL_LOW_BLOCK_SIZE, LANES)[:, None]
+    in_window = (local >= 0) & (local < nvox)
+    zero = dict(sdf=jnp.zeros((A, LANES), jnp.float32),
+                sumsq=jnp.zeros((A, LANES), jnp.float32),
+                weight=jnp.zeros((A, LANES), jnp.int32),
+                rgb=jnp.zeros((A, LANES, 3), jnp.uint8))
+    old = _gather_block_rows(pool, prow)
+    return _scatter_block_rows(pool, prow, bres, mask,
+                               in_window & mask[:, None], zero, old)
 
 
 def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
@@ -480,21 +531,22 @@ def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
     """garbageCollectIdentify + Free (voxel_data_structures.cu:1673-1854):
     free blocks whose min |sdf| exceeds the max-depth truncation or whose max
     weight is zero."""
-    lanes = jnp.arange(P.TOTAL_SDF_BLOCK_SIZE, dtype=jnp.int32)
-    nvox = jnp.where(bres == 1, P.TOTAL_LOW_BLOCK_SIZE,
-                     P.TOTAL_SDF_BLOCK_SIZE)
-    lane_valid = lanes[None, :] < nvox[:, None]
-    vidx = bptr[:, None] + lanes[None, :]
-    vidx_safe = jnp.where(bvalid[:, None] & lane_valid, vidx, 0)
-    w = jnp.where(bvalid[:, None] & lane_valid, pool.weight[vidx_safe], 0)
-    s = jnp.where((w > 0) & lane_valid, jnp.abs(pool.sdf[vidx_safe]), INF)
+    prow, lane0 = _block_rows(bptr, bvalid)
+    lanes = jnp.arange(LANES, dtype=jnp.int32)
+    local = lanes[None, :] - lane0[:, None]
+    nvox = jnp.where(bres == 1, P.TOTAL_LOW_BLOCK_SIZE, LANES)[:, None]
+    lane_valid = (local >= 0) & (local < nvox)
+    w_rows = pool.weight[prow]
+    s_rows = pool.sdf[prow]
+    w = jnp.where(bvalid[:, None] & lane_valid, w_rows, 0)
+    s = jnp.where((w > 0) & lane_valid, jnp.abs(s_rows), INF)
 
     trunc_max = X.get_truncation(cam.max_depth, cfg.sdf_truncation,
                                  cfg.sdf_truncation_scale)
     decision = bvalid & ((jnp.min(s, axis=1) >= trunc_max)
                          | (jnp.max(w, axis=1) == 0))
-    table, ptrs, _, freed = H.free_slots(table, slots, decision)
-    pool = _clear_blocks(pool, ptrs, freed)
+    table, ptrs, fres, freed = H.free_slots(table, slots, decision)
+    pool = _clear_blocks(pool, ptrs, fres, freed)
     return table, pool
 
 
@@ -511,12 +563,12 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
 
     Returns (table', pool', new_slots[u], new_mask[u]) — the re-allocated
     coarse blocks to re-integrate."""
-    lanes = jnp.arange(P.TOTAL_SDF_BLOCK_SIZE, dtype=jnp.int32)
-    vidx = jnp.where(bvalid[:, None], bptr[:, None] + lanes[None, :], 0)
-    w = pool.weight[vidx]
-    ssq = pool.sumsq[vidx]
-    wf = jnp.where(w > 0, w, 0).astype(jnp.float32)
-    ssqf = jnp.where(w > 0, ssq, 0.0)
+    prow, _ = _block_rows(bptr, bvalid)
+    w = pool.weight[prow]
+    ssq = pool.sumsq[prow]
+    # only res-0 blocks coarsen; their window is the full row
+    wf = jnp.where((w > 0) & bvalid[:, None], w, 0).astype(jnp.float32)
+    ssqf = jnp.where((w > 0) & bvalid[:, None], ssq, 0.0)
     w_tot = jnp.sum(wf, axis=1)
     ssq_tot = jnp.sum(ssqf, axis=1)
     avg_var = ssq_tot / jnp.maximum(w_tot - 1.0, 1e-12)
@@ -524,8 +576,8 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
               & (avg_var > 0.0) & (avg_var < cfg.sdf_var_threshold))
 
     # free the fine blocks
-    table, ptrs, _, freed = H.free_slots(table, slots, decide)
-    pool = _clear_blocks(pool, ptrs, freed)
+    table, ptrs, fres, freed = H.free_slots(table, slots, decide)
+    pool = _clear_blocks(pool, ptrs, fres, freed)
 
     # queue re-allocation at res+1 (bounded)
     u = cfg.max_coarsen_per_frame

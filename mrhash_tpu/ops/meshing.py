@@ -19,7 +19,7 @@ from mrhash_tpu.core.state import MapConfig, VoxelPool
 from mrhash_tpu.ops import coords as X
 from mrhash_tpu.ops import hashtable as H
 from mrhash_tpu.ops import transvoxel as TV
-from mrhash_tpu.ops.integrate import _block_voxel_grid
+from mrhash_tpu.ops.integrate import _block_rows, _block_voxel_grid
 
 # Transvoxel tables as device constants
 _CELL_CLASS = jnp.asarray(TV.REGULAR_CELL_CLASS, jnp.int32)
@@ -56,9 +56,10 @@ def get_voxel(cfg: MapConfig, table: H.HashTable, pool: VoxelPool, pos):
     lane = (local[..., 2] * side * side + local[..., 1] * side
             + local[..., 0])
     vidx = jnp.where(found, ptr + lane, 0)
-    sdf = jnp.where(found, pool.sdf[vidx], 0.0)
-    w = jnp.where(found, pool.weight[vidx], 0)
-    rgb = jnp.where(found[..., None], pool.rgb[vidx].astype(jnp.float32), 0.0)
+    sdf = jnp.where(found, pool.flat_sdf[vidx], 0.0)
+    w = jnp.where(found, pool.flat_weight[vidx], 0)
+    rgb = jnp.where(found[..., None],
+                    pool.flat_rgb[vidx].astype(jnp.float32), 0.0)
     return sdf, w, rgb, jnp.where(found, res, 0), found
 
 
@@ -168,7 +169,8 @@ def cell_gate(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
 
     Returns (pf f32[A,512,3] cell centers, gate bool[A,512])."""
     vvs = cfg.virtual_voxel_size
-    pi, lane_valid = _block_voxel_grid(bpos, bres)
+    _, lane0 = _block_rows(bptr, bvalid)
+    pi, lane_valid = _block_voxel_grid(bpos, bres, lane0)
     pf = X.virtual_voxel_pos_to_world(vvs, pi)
     vs = (vvs * (1 << bres).astype(jnp.float32))[:, None, None]
     gate = jnp.zeros(pf.shape[:-1], bool)

@@ -178,7 +178,8 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
     def _sharded_starve(lcfg, pool, cam, bpos, bptr, bres, bvalid):
         """starveVoxels with the depth z-buffer reduced across devices."""
         vvs = lcfg.virtual_voxel_size
-        pi, lane_valid = I._block_voxel_grid(bpos, bres)
+        prow, lane0 = I._block_rows(bptr, bvalid)
+        pi, lane_valid = I._block_voxel_grid(bpos, bres, lane0)
         pf = pi.astype(jnp.float32) * vvs
         pcam = C.world_to_cam(cam, pf)
         row, col, ok = C.project_point(cam, pcam)
@@ -198,13 +199,13 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
         tbuf = jnp.full((HW,), jnp.iinfo(jnp.int32).max, jnp.int32).at[
             jnp.where(is_front, pix, HW)].min(tid, mode="drop")
         tbuf = jax.lax.pmin(tbuf, AXIS)
-        starved = is_front & (tbuf[jnp.where(pix < HW, pix, 0)] == tid)
-        lanes = jnp.arange(P.TOTAL_SDF_BLOCK_SIZE, dtype=jnp.int32)
-        vidx = (bptr[:, None] + lanes[None, :]).reshape(-1)
-        dest = jnp.where(starved, vidx, pool.num_voxels)
-        w = pool.weight[jnp.where(starved, vidx, 0)]
-        return pool.replace(weight=pool.weight.at[dest].set(
-            jnp.maximum(0, w - 1), mode="drop"))
+        starved = (is_front
+                   & (tbuf[jnp.where(pix < HW, pix, 0)] == tid)).reshape(
+            (-1, P.TOTAL_SDF_BLOCK_SIZE))
+        w0 = pool.weight[prow]
+        return I._scatter_block_rows(
+            pool, prow, bres, bvalid, starved,
+            dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0))
 
     gn = lcfg.num_blocks * n
     s = PSpec(AXIS)

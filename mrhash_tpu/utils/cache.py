@@ -10,6 +10,24 @@ from __future__ import annotations
 import os
 
 
+def cpu_default_device():
+    """Route eager ops (constant folding during tracing) to the CPU backend.
+
+    Under the axon TPU tunnel every eager op on a new shape triggers a
+    ~40s remote tiny-compile; tracing a large pipeline creates dozens of
+    eager constants (jnp.arange etc.), which made .lower() take ~17 min.
+    With the CPU default device those constants fold locally in
+    milliseconds; jit still compiles for TPU because the (committed) state
+    arrays live there.
+    """
+    import jax
+    try:
+        cpu = jax.devices("cpu")[0]
+        jax.config.update("jax_default_device", cpu)
+    except Exception as e:
+        print(f"cpu default device unavailable: {e}")
+
+
 def enable_compilation_cache():
     import jax
 

@@ -64,8 +64,8 @@ def test_sharded_integrate_matches_single_chip(mesh):
             shard = np.nonzero(occ)[0] // cap
             ptr = ptr + shard * lcl_nb * P.TOTAL_SDF_BLOCK_SIZE
         lanes = np.arange(P.TOTAL_SDF_BLOCK_SIZE)
-        sdf = np.asarray(pool.sdf)[ptr[:, None] + lanes]
-        w = np.asarray(pool.weight)[ptr[:, None] + lanes]
+        sdf = np.asarray(pool.sdf).reshape(-1)[ptr[:, None] + lanes]
+        w = np.asarray(pool.weight).reshape(-1)[ptr[:, None] + lanes]
         order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
         return pos[order], sdf[order], w[order]
 

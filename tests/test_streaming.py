@@ -86,8 +86,8 @@ def test_stream_out_in_roundtrip_preserves_voxels():
         pos = np.asarray(state.table.pos)[occ]
         ptr = np.asarray(state.table.ptr)[occ]
         lanes = np.arange(P.TOTAL_SDF_BLOCK_SIZE)
-        sdf = np.asarray(state.pool.sdf)[ptr[:, None] + lanes]
-        w = np.asarray(state.pool.weight)[ptr[:, None] + lanes]
+        sdf = np.asarray(state.pool.sdf).reshape(-1)[ptr[:, None] + lanes]
+        w = np.asarray(state.pool.weight).reshape(-1)[ptr[:, None] + lanes]
         order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
         return pos[order], sdf[order], w[order]
 
