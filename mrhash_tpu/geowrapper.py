@@ -233,6 +233,16 @@ class GeoWrapper:
         self._depth_img = None
 
     # ------------------------------------------------------------------ compute
+    def _bucket_cfg(self):
+        """Adaptive compacted-window size: compile buckets of
+        max_active_blocks and pick the smallest that fits last frame's
+        occupancy — padding lanes cost real bandwidth on TPU."""
+        occ = max(getattr(self, "_last_occupied", 0), 1)
+        bucket = _round_up_pow2(int(occ * 1.5) + 1024)
+        bucket = min(max(bucket, 1 << 12), self.cfg.max_active_blocks)
+        import dataclasses
+        return dataclasses.replace(self.cfg, max_active_blocks=bucket)
+
     def compute(self):
         """Per-frame step (geowrapper.cpp:118-148)."""
         cam = C.with_pose(self.camera, self.curr_rot, self.curr_trans)
@@ -245,13 +255,14 @@ class GeoWrapper:
             self.streaming_profiler.write(self.streamer.grid.num_blocks())
 
         with self.integration_profiler.event():
+            cfg = self._bucket_cfg()
             if self._depth_img is not None and self._rgb_img is not None:
-                step = pipeline.jit_integrate_rgbd(self.cfg)
+                step = pipeline.jit_integrate_rgbd(cfg)
                 self.state, stats = step(self.state, cam,
                                          jnp.asarray(self._depth_img),
                                          jnp.asarray(self._rgb_img))
             elif self._points is not None:
-                step = pipeline.jit_integrate_points(self.cfg)
+                step = pipeline.jit_integrate_points(cfg)
                 valid = np.zeros((self._points.shape[0],), bool)
                 valid[: self._num_points] = True
                 self.state, stats = step(self.state, cam,
@@ -262,6 +273,7 @@ class GeoWrapper:
             else:
                 return
             occupied = int(stats["occupied_blocks"])
+            self._last_occupied = occupied
             self._high_free = int(stats["high_free"])
         self.integration_profiler.write(occupied)
 

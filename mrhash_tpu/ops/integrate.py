@@ -292,16 +292,25 @@ def _scatter_block_rows(pool: VoxelPool, row, bres, bvalid, update_mask,
     w_mask = update_mask & is1[:, None]
     flat_dest = jnp.where(w_mask, flat_idx, pool.num_voxels).reshape(-1)
 
+    any_low = jnp.any(is1)
     out = {}
     for name, new_vals in new.items():
         m = (update_mask[..., None] if new_vals.ndim == 3 else update_mask)
         full = jnp.where(m, new_vals, old[name])
         arr = getattr(pool, name)
         arr = arr.at[row0].set(full, mode="drop", unique_indices=True)
+        # element-wise window pass only when res-1 blocks exist (single-res
+        # configs skip it at runtime; a fully-dropped scatter still costs
+        # ~100ms on TPU)
         flat_shape = (-1, 3) if new_vals.ndim == 3 else (-1,)
-        flat = arr.reshape(flat_shape).at[flat_dest].set(
-            new_vals.reshape(flat_shape), mode="drop")
-        out[name] = flat.reshape(arr.shape)
+
+        def low_pass(arr, new_vals=new_vals, flat_shape=flat_shape):
+            flat = arr.reshape(flat_shape).at[flat_dest].set(
+                new_vals.reshape(flat_shape), mode="drop")
+            return flat.reshape(arr.shape)
+
+        arr = jax.lax.cond(any_low, low_pass, lambda a: a, arr)
+        out[name] = arr
     return pool.replace(**out)
 
 
@@ -333,9 +342,16 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     pcam = C.world_to_cam(cam, pf)
     row, col, ok = C.project_point(cam, pcam)
 
+    # one gather for depth + one for bit-packed rgb (vs 4 element-wise
+    # gathers; each 16.7M-element gather costs ~150ms on v5e)
     W_ = pc_depth.shape[1]
     depth = _sample_image(pc_depth.reshape(-1), row, col, W_, ok)
-    rgb_new = _sample_image(rgb_img.reshape(-1, 3), row, col, W_, ok)
+    packed = (rgb_img[..., 0].astype(jnp.uint32)
+              | (rgb_img[..., 1].astype(jnp.uint32) << 8)
+              | (rgb_img[..., 2].astype(jnp.uint32) << 16))
+    pk = _sample_image(packed.reshape(-1), row, col, W_, ok)
+    rgb_new = jnp.stack([(pk & 255), ((pk >> 8) & 255), ((pk >> 16) & 255)],
+                        axis=-1).astype(jnp.uint8)
 
     depth_ok = ok & (depth != 0.0) & (depth <= cfg.max_integration_distance)
     sdf = depth - C.get_depth(cam, pcam)
