@@ -50,6 +50,8 @@ def main():
     from mrhash_tpu.core.state import MapConfig, make_state
     from mrhash_tpu.ops import camera as C
 
+    import dataclasses
+
     rows, cols = 680, 1200
     cfg = MapConfig(
         virtual_voxel_size=0.01, sdf_truncation=0.07,
@@ -61,9 +63,8 @@ def main():
                          rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
     rng = np.random.default_rng(0)
     state = make_state(cfg.num_blocks)
-    step = pipeline.jit_integrate_rgbd(cfg)
 
-    n_warmup, n_frames = 3, 20
+    n_warmup, n_frames = 4, 20
     rgb = jnp.asarray(rng.integers(0, 255, (rows, cols, 3)), jnp.uint8)
     depths = [synthetic_room_depth(rows, cols, cam0, rng)
               for _ in range(4)]
@@ -76,14 +77,24 @@ def main():
         t = np.array([0.01 * i, 0.0, 0.0], np.float32)
         return C.with_pose(cam0, jnp.asarray(rot), jnp.asarray(t))
 
+    # warmup at full window, then re-fit the compacted-block bucket to the
+    # scene's real occupancy (padding lanes cost real bandwidth)
+    step = pipeline.jit_integrate_rgbd(cfg)
     for i in range(n_warmup):
         state, stats = step(state, frame_cam(i), depths[i % 4], rgb)
+    occ = int(stats["occupied_blocks"])
+    bucket = 1 << max(int(occ * 1.5).bit_length(), 12)
+    bucket = min(bucket, cfg.max_active_blocks)
+    cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
+    step = pipeline.jit_integrate_rgbd(cfg_run)
+    state, stats = step(state, frame_cam(n_warmup), depths[0], rgb)
     jax.block_until_ready(state)
+    print(f"# occupancy {occ}, bucket {bucket}", file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(n_warmup, n_warmup + n_frames):
         state, stats = step(state, frame_cam(i), depths[i % 4], rgb)
-    jax.block_until_ready(state)
+    state = jax.block_until_ready(state)
     dt = (time.perf_counter() - t0) / n_frames
 
     fps = 1.0 / dt

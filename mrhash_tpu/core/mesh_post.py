@@ -45,23 +45,42 @@ class MeshAccumulator:
         if v.shape[0] == 0:
             return
         # duplicate-vertex removal: exact rows or epsilon-quantized grid
-        # (removeDuplicateVerticesTriangle, mesh_extractor.cpp:181-258)
-        key = v if self.eps == 0.0 else np.floor(v / self.eps).astype(np.int64)
-        uniq, first_idx, old_to_new = np.unique(
-            key, axis=0, return_index=True, return_inverse=True)
-        # keep the *first-seen* representative per group, like the reference
-        order = np.argsort(first_idx, kind="stable")
-        remap_group = np.empty_like(order)
-        remap_group[order] = np.arange(order.size)
-        old_to_new = remap_group[old_to_new]
-        first_idx = first_idx[order]
-        self.vertices = v[first_idx]
-        self.colors = c[first_idx]
+        # (removeDuplicateVerticesTriangle, mesh_extractor.cpp:181-258);
+        # native hash-map path when the host library is available
+        from mrhash_tpu import native
+        nat = native.dedup_vertices(v, self.eps)
+        if nat is not None:
+            old_to_new, n_unique = nat
+            first_idx = np.zeros(n_unique, np.int64)
+            seen = np.zeros(n_unique, bool)
+            # first occurrence per new index (remap is first-occurrence
+            # ordered, so a reverse pass keeps the first)
+            for_order = np.arange(v.shape[0])[::-1]
+            first_idx[old_to_new[for_order]] = for_order
+            self.vertices = v[first_idx]
+            self.colors = c[first_idx]
+        else:
+            key = (v if self.eps == 0.0
+                   else np.floor(v / self.eps).astype(np.int64))
+            uniq, first_idx, old_to_new = np.unique(
+                key, axis=0, return_index=True, return_inverse=True)
+            # keep the *first-seen* representative per group
+            order = np.argsort(first_idx, kind="stable")
+            remap_group = np.empty_like(order)
+            remap_group[order] = np.arange(order.size)
+            old_to_new = remap_group[old_to_new]
+            first_idx = first_idx[order]
+            self.vertices = v[first_idx]
+            self.colors = c[first_idx]
         f = old_to_new[f]
 
-        # degenerate faces (mesh_extractor.cpp:61-72)
-        keep = (f[:, 0] != f[:, 1]) & (f[:, 0] != f[:, 2]) & (f[:, 1] != f[:, 2])
-        f = f[keep]
-        # duplicate faces, first occurrence kept (mesh_extractor.cpp:156-178)
-        _, fi = np.unique(f, axis=0, return_index=True)
-        self.faces = f[np.sort(fi)]
+        # degenerate + duplicate faces (mesh_extractor.cpp:61-72, 156-178)
+        keep_nat = native.dedup_faces(f)
+        if keep_nat is not None:
+            self.faces = f[keep_nat]
+        else:
+            keep = ((f[:, 0] != f[:, 1]) & (f[:, 0] != f[:, 2])
+                    & (f[:, 1] != f[:, 2]))
+            f = f[keep]
+            _, fi = np.unique(f, axis=0, return_index=True)
+            self.faces = f[np.sort(fi)]

@@ -212,8 +212,13 @@ class GeoWrapper:
         self._num_points = points.shape[0]
         if isinstance(arg2, (bool, np.bool_)):
             if arg2:
-                from mrhash_tpu.ops.normals import estimate_normals
-                normals, _, weights = estimate_normals(points)
+                from mrhash_tpu import native
+                nat = native.estimate_normals(points)
+                if nat is not None:
+                    normals, weights = nat
+                else:
+                    from mrhash_tpu.ops.normals import estimate_normals
+                    normals, _, weights = estimate_normals(points)
             else:
                 normals = np.zeros_like(points)
                 weights = np.ones((points.shape[0],), np.float32)

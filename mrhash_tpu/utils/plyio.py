@@ -10,12 +10,16 @@ import numpy as np
 
 def write_mesh_ply(path, vertices, faces, colors=None):
     """ASCII PLY with per-vertex uchar colors, matching the output layout of
-    GeoWrapper::extractMesh (geowrapper.cpp:194-229)."""
+    GeoWrapper::extractMesh (geowrapper.cpp:194-229).  Uses the native
+    writer when available."""
     v = np.asarray(vertices, np.float64)
     f = np.asarray(faces, np.int64)
     if colors is None:
         colors = np.zeros_like(v)
     c = np.clip(np.asarray(colors, np.float64), 0, 255).astype(np.uint8)
+    from mrhash_tpu import native
+    if native.write_mesh_ply(path, v, c, f):
+        return
     with open(path, "w") as fh:
         fh.write("ply\nformat ascii 1.0\n")
         fh.write(f"element vertex {v.shape[0]}\n")
