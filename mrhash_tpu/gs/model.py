@@ -126,7 +126,7 @@ class GaussianModel:
             p["opacity"], p["scaling"], p["rotation"]], axis=1)
         os.makedirs(path, exist_ok=True)
         fname = os.path.join(path, f"point_cloud_{iteration}.ply")
-        rec = np.core.records.fromarrays(
+        rec = np.rec.fromarrays(
             [cols[:, i].astype("<f4") for i in range(cols.shape[1])],
             names=",".join(names))
         with open(fname, "wb") as fh:

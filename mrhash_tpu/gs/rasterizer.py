@@ -124,7 +124,11 @@ def compute_cov2d(p_view, fx, fy, tan_fovx, tan_fovy, cov3d, rot_w2c):
 def preprocess(params, active, cam, sh_degree):
     """preprocessCUDA (forward.cu:139-241).  cam: dict(rot_w2c, t_w2c, fx,
     fy, cx, cy, W, H).  Returns per-gaussian attrs + validity."""
-    xyz = params["xyz"]
+    # inactive slots hold zeros; push them to a benign point so norms /
+    # divisions never see zero vectors (their grads would be NaN and
+    # where() does not block NaN cotangents)
+    xyz = jnp.where(active[:, None], params["xyz"],
+                    jnp.asarray([0.0, 0.0, 1e6]))
     p_view = xyz @ cam["rot_w2c"].T + cam["t_w2c"]
     depth = p_view[:, 2]
     in_front = depth > 0.2
@@ -152,8 +156,8 @@ def preprocess(params, active, cam, sh_degree):
 
     cam_center = -(cam["t_w2c"] @ cam["rot_w2c"])
     dirs = xyz - cam_center
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
-                              1e-9)
+    n2 = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+    dirs = dirs * jax.lax.rsqrt(jnp.where(n2 > 0, n2, 1.0))
     sh = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
     rgb = eval_sh(sh_degree, sh, dirs)
 

@@ -42,7 +42,7 @@ def test_qtree_leaf_areas_cover_image():
     assert np.sum(lv[:, 2] * lv[:, 3]) == 48 * 80
 
 
-def make_model(n=64, seed=0, capacity=256):
+def make_model(n=64, seed=0, capacity=256, anisotropic=False):
     rng = np.random.default_rng(seed)
     p = OptimizationParams()
     m = GaussianModel(p, capacity=capacity)
@@ -51,6 +51,12 @@ def make_model(n=64, seed=0, capacity=256):
     cols = rng.integers(0, 255, (n, 3)).astype(np.uint8)
     scales = np.full((n,), 0.08, np.float32)
     m.add_gaussians(pos, cols, scales)
+    if anisotropic:
+        # rotation gradients vanish for isotropic gaussians (sigma = s^2 I);
+        # perturb per-axis log-scales so dSigma/dq != 0
+        key = jax.random.PRNGKey(seed)
+        m.params["scaling"] = m.params["scaling"] + 0.3 * jax.random.normal(
+            key, m.params["scaling"].shape)
     return m
 
 
@@ -76,7 +82,7 @@ def test_render_forward():
 
 
 def test_render_gradients_flow():
-    m = make_model()
+    m = make_model(anisotropic=True)
     cam = cam_dict()
     gt = jnp.zeros((3, 64, 64), jnp.float32)
 
