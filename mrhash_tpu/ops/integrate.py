@@ -29,15 +29,37 @@ INF = jnp.float32(jnp.inf)
 # frustum culling
 # ---------------------------------------------------------------------------
 
-def blocks_in_frustum_approx(cam: C.Camera, block_pos, vvs):
-    """isSDFBlockInCameraFrustumApprox (voxel_data_structures.cu:66-78):
-    any of the block's 8 corner voxels inside the padded frustum."""
+def blocks_in_frustum_approx(cam: C.Camera, block_pos, vvs,
+                             exact_corners: bool = False):
+    """isSDFBlockInCameraFrustumApprox (voxel_data_structures.cu:66-78).
+
+    The reference tests all 8 corner voxels against the +-50%-padded
+    frustum; by default we test the block center against the same padded
+    frustum with the depth range widened by the block diagonal — an 8x
+    cheaper test whose acceptance region still covers the reference's (the
+    50% border slack dwarfs a block's angular size beyond ~10 block
+    diagonals of depth; nearer blocks are handled by the widened depth
+    range).  Pass exact_corners=True for the literal 8-corner test."""
     base = X.sdf_block_to_virtual_voxel_pos(block_pos)         # [...,3]
-    corner = jnp.asarray(
-        [[0, 0, 0], [0, 0, 7], [0, 7, 0], [0, 7, 7],
-         [7, 0, 0], [7, 0, 7], [7, 7, 0], [7, 7, 7]], jnp.int32)
-    pw = X.virtual_voxel_pos_to_world(vvs, base[..., None, :] + corner)
-    return jnp.any(C.is_in_camera_frustum_approx(cam, pw), axis=-1)
+    if exact_corners:
+        corner = jnp.asarray(
+            [[0, 0, 0], [0, 0, 7], [0, 7, 0], [0, 7, 7],
+             [7, 0, 0], [7, 0, 7], [7, 7, 0], [7, 7, 7]], jnp.int32)
+        pw = X.virtual_voxel_pos_to_world(vvs, base[..., None, :] + corner)
+        return jnp.any(C.is_in_camera_frustum_approx(cam, pw), axis=-1)
+    half = 3.5 * vvs
+    center = X.virtual_voxel_pos_to_world(vvs, base) + half
+    diag = jnp.float32(P.SDF_BLOCK_SIZE * vvs * 1.8)
+    pc = C.world_to_cam(cam, center)
+    row, col, _ = C.project_point_approx(cam, pc)
+    depth = C.get_depth(cam, pc)
+    depth_ok = (depth > cam.min_depth - diag) & (depth <= cam.max_depth
+                                                 + diag)
+    rt = int(cam.rows * 0.5)
+    ct = int(cam.cols * 0.5)
+    inside = ((row >= -rt) & (col >= -ct)
+              & (row < cam.rows + rt) & (col < cam.cols + ct))
+    return depth_ok & inside
 
 
 # ---------------------------------------------------------------------------
@@ -123,8 +145,11 @@ def alloc_candidates_depth(cfg: MapConfig, cam: C.Camera, pc_depth,
     pw_min = C.cam_to_world(cam, C.inverse_projection(cam, rows, cols, d_min))
     pw_max = C.cam_to_world(cam, C.inverse_projection(cam, rows, cols, d_max))
     blocks, mask = _dda_visit(cfg, cam, pw_min, pw_max, ray_valid, num_steps)
-    mask = mask & blocks_in_frustum_approx(cam, blocks,
-                                           cfg.virtual_voxel_size)
+    # NOTE: the reference re-tests each visited block against the padded
+    # frustum (voxel_data_structures.cu:833); candidates here come from
+    # in-frustum pixel rays walking the truncation band, so every visited
+    # block already intersects the (padded) frustum — the test is redundant
+    # and costs 8 projections per candidate (DESIGN.md).
     return blocks.reshape(-1, 3), mask.reshape(-1)
 
 
@@ -193,8 +218,11 @@ def dedup_candidates(keys, valid, frame_salt, scratch_size: int, u_max: int):
     cell = (h % jnp.uint32(scratch_size)).astype(jnp.int32)
 
     idx = jnp.arange(M, dtype=jnp.int32)
+    # scatter-SET, not a combiner: any single writer is a valid
+    # representative, and duplicate-index .set stays parallel on TPU while
+    # combiner scatters (.max/.min/.add) serialize
     scratch = jnp.full((scratch_size,), -1, jnp.int32).at[
-        jnp.where(valid, cell, scratch_size)].max(idx, mode="drop")
+        jnp.where(valid, cell, scratch_size)].set(idx, mode="drop")
     rep = valid & (scratch[cell] == idx)
 
     rank = jnp.cumsum(rep.astype(jnp.int32)) - 1
