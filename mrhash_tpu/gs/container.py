@@ -89,11 +89,16 @@ class GaussianContainer:
 
             def loss_fn(params, count, cam_d, gt):
                 active = jnp.arange(params["xyz"].shape[0]) < count
-                img, _ = render(params, active, cam_d, bg, sh_degree)
+                img, _ = render(params, active, dict(cam_d, W=W, H=H), bg,
+                                sh_degree)
                 return losses.l1_loss(img, gt)
 
             @jax.jit
             def step(params, opt_state, count, cam_d, gt):
+                # W/H are static (closed over); strip them from the traced
+                # camera dict
+                cam_d = {k: v for k, v in cam_d.items()
+                         if k not in ("W", "H")}
                 loss, grads = jax.value_and_grad(loss_fn)(params, count,
                                                           cam_d, gt)
                 updates, opt_state = tx.update(grads, opt_state, params)
@@ -155,12 +160,16 @@ class GaussianContainer:
 
         def loss_fn(params, count, cam_d, gt):
             active = jnp.arange(params["xyz"].shape[0]) < count
-            img, _ = render(params, active, cam_d, bg, sh_degree)
+            # image shape is static under trace; use it for the raster grid
+            img, _ = render(params, active,
+                            dict(cam_d, H=gt.shape[1], W=gt.shape[2]), bg,
+                            sh_degree)
             return ((1.0 - lam) * losses.l1_loss(img, gt)
                     + lam * (1.0 - losses.ssim(img, gt)))
 
         @jax.jit
         def step(params, opt_state, count, cam_d, gt):
+            cam_d = {k: v for k, v in cam_d.items() if k not in ("W", "H")}
             loss, grads = jax.value_and_grad(loss_fn)(params, count, cam_d,
                                                       gt)
             updates, opt_state = tx.update(grads, opt_state, params)

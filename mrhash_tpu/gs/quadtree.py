@@ -35,7 +35,7 @@ def build_qtree(rgb_img, threshold, min_pixel_size, max_leaves,
     leaf_valid bool[max_leaves], n_leaves, n_overflow)."""
     H, W = rgb_img.shape[:2]
     if max_levels is None:
-        max_levels = int(jnp.ceil(jnp.log2(max(H, W)))) + 1
+        max_levels = max(H, W).bit_length() + 1
     img = rgb_img.astype(jnp.float32)
     S1 = _integral(img)
     S2 = _integral(img * img)

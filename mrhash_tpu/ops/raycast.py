@@ -72,7 +72,9 @@ def raycast_depth(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
         pos = origin + tcur[..., None] * direction
         sdf, w, _, _, _ = M.get_voxel(cfg, table, pool, pos)
         valid = w > 0
-        crossed = valid & (prev_d > 0) & (sdf < 0) & ~found
+        # sdf == 0 is on the surface: include it so exact-zero samples
+        # (synthetic data, axis-aligned walls) still bracket
+        crossed = valid & (prev_d > 0) & (sdf <= 0) & ~found
         hit_a = jnp.where(crossed, prev_t, hit_a)
         hit_b = jnp.where(crossed, tcur, hit_b)
         hit_da = jnp.where(crossed, prev_d, hit_da)
