@@ -151,55 +151,64 @@ def insert(table: HashTable, keys, valid, res):
     found, slotF, ptrF, resF = lookup(table, keys, valid)
     pending0 = valid & ~found
 
-    bucket = calculate_hash(keys, table.num_buckets)
-    slots_all = probe_slots(bucket, C)  # [U, NP]
-    arange_u = jnp.arange(U, dtype=jnp.int32)
+    def do_insert(table):
+        bucket = calculate_hash(keys, table.num_buckets)
+        slots_all = probe_slots(bucket, C)  # [U, NP]
+        arange_u = jnp.arange(U, dtype=jnp.int32)
 
-    def round_body(j, carry):
-        occupied, assigned_slot, pending = carry
-        slot_j = slots_all[:, j]                              # [U]
-        free_j = ~occupied[slot_j]
-        want = pending & free_j
-        # conflict resolution: highest key index proposing a slot wins
-        prop = jnp.full((C,), -1, jnp.int32).at[
-            jnp.where(want, slot_j, C)].max(arange_u, mode="drop")
-        winner = want & (prop[slot_j] == arange_u)
-        occupied = occupied.at[jnp.where(winner, slot_j, C)].set(
-            True, mode="drop")
-        assigned_slot = jnp.where(winner, slot_j, assigned_slot)
-        pending = pending & ~winner
-        return occupied, assigned_slot, pending
+        def round_body(j, carry):
+            occupied, assigned_slot, pending = carry
+            slot_j = slots_all[:, j]                              # [U]
+            free_j = ~occupied[slot_j]
+            want = pending & free_j
+            # conflict resolution: highest proposing key index wins
+            prop = jnp.full((C,), -1, jnp.int32).at[
+                jnp.where(want, slot_j, C)].max(arange_u, mode="drop")
+            winner = want & (prop[slot_j] == arange_u)
+            occupied = occupied.at[jnp.where(winner, slot_j, C)].set(
+                True, mode="drop")
+            assigned_slot = jnp.where(winner, slot_j, assigned_slot)
+            pending = pending & ~winner
+            return occupied, assigned_slot, pending
 
-    occupied0 = table.ptr != FREE
-    assigned0 = jnp.full((U,), -1, jnp.int32)
-    occupied, assigned_slot, _ = jax.lax.fori_loop(
-        0, P.NUM_PROBES, round_body, (occupied0, assigned0, pending0))
-    got_slot = assigned_slot >= 0
+        occupied0 = table.ptr != FREE
+        assigned0 = jnp.full((U,), -1, jnp.int32)
+        occupied, assigned_slot, _ = jax.lax.fori_loop(
+            0, P.NUM_PROBES, round_body, (occupied0, assigned0, pending0))
+        got_slot = assigned_slot >= 0
 
-    # heap draws per resolution
-    want_high = got_slot & (res == 0)
-    want_low = got_slot & (res == 1)
-    ids_h, got_h, high_count = _heap_draw(table.heap_high, table.high_count,
-                                          want_high)
-    ids_l, got_l, low_count = _heap_draw(table.heap_low, table.low_count,
-                                         want_low)
-    new = got_h | got_l
-    new_ptr = jnp.where(got_h, ids_h * P.TOTAL_SDF_BLOCK_SIZE,
-                        ids_l * P.TOTAL_LOW_BLOCK_SIZE)
+        # heap draws per resolution
+        want_high = got_slot & (res == 0)
+        want_low = got_slot & (res == 1)
+        ids_h, got_h, high_count = _heap_draw(
+            table.heap_high, table.high_count, want_high)
+        ids_l, got_l, low_count = _heap_draw(
+            table.heap_low, table.low_count, want_low)
+        new = got_h | got_l
+        new_ptr = jnp.where(got_h, ids_h * P.TOTAL_SDF_BLOCK_SIZE,
+                            ids_l * P.TOTAL_LOW_BLOCK_SIZE)
 
-    # write entries for successful inserts only
-    dest = jnp.where(new, assigned_slot, C)
-    pos_arr = table.pos.at[dest].set(keys, mode="drop")
-    ptr_arr = table.ptr.at[dest].set(new_ptr, mode="drop")
-    res_arr = table.res.at[dest].set(res, mode="drop")
+        # write entries for successful inserts only
+        dest = jnp.where(new, assigned_slot, C)
+        table = table.replace(
+            pos=table.pos.at[dest].set(keys, mode="drop"),
+            ptr=table.ptr.at[dest].set(new_ptr, mode="drop"),
+            res=table.res.at[dest].set(res, mode="drop"),
+            high_count=high_count, low_count=low_count)
+        return table, assigned_slot, new_ptr, new
+
+    def skip_insert(table):
+        return (table, jnp.full((U,), -1, jnp.int32),
+                jnp.full((U,), FREE, jnp.int32), jnp.zeros((U,), bool))
+
+    # steady-state frames allocate nothing: skip the probe loop + heap draws
+    table, assigned_slot, new_ptr, new = jax.lax.cond(
+        jnp.any(pending0), do_insert, skip_insert, table)
 
     out_slot = jnp.where(found, slotF, jnp.where(new, assigned_slot, -1))
     out_ptr = jnp.where(found, ptrF, jnp.where(new, new_ptr, FREE))
     out_res = jnp.where(found, resF, res)
 
-    table = table.replace(pos=pos_arr, ptr=ptr_arr, res=res_arr,
-                          heap_high=table.heap_high, heap_low=table.heap_low,
-                          high_count=high_count, low_count=low_count)
     info = dict(slot=out_slot, ptr=out_ptr, res=out_res, was_new=new,
                 present=found | new)
     return table, info
