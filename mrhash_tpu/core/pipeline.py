@@ -38,7 +38,8 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
     num_steps = cfg.dda_steps(float(cfg.max_integration_distance))
 
     # --- allocation -------------------------------------------------------
-    keys, valid = I.alloc_candidates_depth(cfg, cam, pc_depth, num_steps)
+    keys, valid = I.alloc_candidates_depth(cfg, cam, pc_depth, num_steps,
+                                           frame=state.frame)
     table = I.alloc_blocks(cfg, state.table, keys, valid, state.frame)
 
     # --- compaction + integration -----------------------------------------

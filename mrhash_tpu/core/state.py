@@ -121,8 +121,9 @@ class MapConfig:
     num_buckets: int = 0                     # 0 -> num_blocks
     max_active_blocks: int = 1 << 16         # compacted block window
     max_alloc_per_frame: int = 1 << 14       # unique new blocks per frame
-    dedup_scratch_factor: int = 8            # scratch cells per alloc slot
-    alloc_rounds: int = 2                    # salted dedup+insert passes
+    dedup_scratch_factor: int = 16           # scratch cells per alloc slot
+    alloc_rounds: int = 1                    # salted dedup+insert passes
+    alloc_pixel_stride: int = 2              # stagger candidates over s^2 frames
     dda_extra_steps: int = 3
     max_coarsen_per_frame: int = 1 << 12     # variance-merge queue
     low_split_chunk: int = 1 << 10           # high blocks split per refill

@@ -124,18 +124,39 @@ def _dda_visit(cfg: MapConfig, cam: C.Camera, pw_min, pw_max, ray_valid,
 
 
 def alloc_candidates_depth(cfg: MapConfig, cam: C.Camera, pc_depth,
-                           num_steps: int, row0=0):
+                           num_steps: int, row0=0, frame=None):
     """allocBlocksKernel (voxel_data_structures.cu:757-857): per-pixel ray
-    through the truncation band [d-t, d+t], frustum-filtered.
+    through the truncation band [d-t, d+t].
 
     pc_depth: f32[H,W] per-pixel depth (z for pinhole, range for spherical);
     row0 offsets the row coordinates (for row-sharded SPMD shards).
-    Returns flat candidate keys [K*H*W, 3] + valid mask."""
+
+    With cfg.alloc_pixel_stride = s > 1 and a frame counter, only every s-th
+    pixel in each dimension emits candidates, with the (s*s)-phase rotating
+    per frame — full pixel coverage every s^2 frames.  This is the
+    reference's staggered-allocation semantics ("fast version ... staggers
+    alloc to the next frame", voxel_data_structures.cu:876) applied at the
+    source, cutting candidate volume s^2-fold.
+    Returns flat candidate keys + valid mask."""
     H_, W_ = pc_depth.shape
-    depth = pc_depth.reshape(-1)
-    rows = (jnp.arange(H_ * W_, dtype=jnp.int32) // W_
-            + row0).astype(jnp.float32)
-    cols = (jnp.arange(H_ * W_, dtype=jnp.int32) % W_).astype(jnp.float32)
+    s = int(cfg.alloc_pixel_stride)
+    if s > 1 and frame is not None:
+        phase = frame.astype(jnp.int32) % (s * s)
+        py = phase // s
+        px = phase % s
+        sub = jax.lax.dynamic_slice(pc_depth, (py, px),
+                                    (H_ - s + 1, W_ - s + 1))[::s, ::s]
+        Hs, Ws = sub.shape
+        depth = sub.reshape(-1)
+        rows = (py + s * (jnp.arange(Hs * Ws, dtype=jnp.int32) // Ws)
+                + row0).astype(jnp.float32)
+        cols = (px + s * (jnp.arange(Hs * Ws, dtype=jnp.int32)
+                          % Ws)).astype(jnp.float32)
+    else:
+        depth = pc_depth.reshape(-1)
+        rows = (jnp.arange(H_ * W_, dtype=jnp.int32) // W_
+                + row0).astype(jnp.float32)
+        cols = (jnp.arange(H_ * W_, dtype=jnp.int32) % W_).astype(jnp.float32)
 
     t = X.get_truncation(depth, cfg.sdf_truncation, cfg.sdf_truncation_scale)
     d_min = jnp.minimum(cfg.max_integration_distance, depth - t)

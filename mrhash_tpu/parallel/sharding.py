@@ -126,7 +126,8 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
 
         # --- allocation with key routing over ICI -----------------------
         keys, valid = I.alloc_candidates_depth(lcfg, cam, my_rows, num_steps,
-                                               row0=me * rows_local)
+                                               row0=me * rows_local,
+                                               frame=frame)
         for rnd in range(lcfg.alloc_rounds):
             ukeys, uvalid = I.dedup_candidates(
                 keys, valid, frame * lcfg.alloc_rounds + rnd,
