@@ -127,6 +127,8 @@ class MapConfig:
     dda_extra_steps: int = 3
     max_coarsen_per_frame: int = 1 << 12     # variance-merge queue
     low_split_chunk: int = 1 << 10           # high blocks split per refill
+    sample_patch: int = 16                   # per-block image patch side
+    sample_fallback: int = 1 << 21           # out-of-patch lane budget
 
     @property
     def metric_block_size(self) -> float:
