@@ -53,12 +53,13 @@ def main():
     import dataclasses
 
     rows, cols = 680, 1200
+    sample_mode = "pallas" if jax.default_backend() != "cpu" else "gather"
     cfg = MapConfig(
         virtual_voxel_size=0.01, sdf_truncation=0.07,
         sdf_truncation_scale=0.0, integration_weight_sample=1,
         max_integration_distance=30.0, n_frames_invalidate_voxels=100,
         num_blocks=1 << 19, max_active_blocks=1 << 17,
-        max_alloc_per_frame=1 << 14)
+        max_alloc_per_frame=1 << 14, sample_mode=sample_mode)
     cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
                          rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
     rng = np.random.default_rng(0)

@@ -129,6 +129,7 @@ class MapConfig:
     low_split_chunk: int = 1 << 10           # high blocks split per refill
     sample_patch: int = 16                   # per-block image patch side
     sample_fallback: int = 1 << 21           # out-of-patch lane budget
+    sample_mode: str = "gather"              # gather | patch | pallas
 
     @property
     def metric_block_size(self) -> float:

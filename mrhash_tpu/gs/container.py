@@ -110,7 +110,17 @@ class GaussianContainer:
 
     # ------------------------------------------------------------------ frame
     def run_gs(self, cfg, cam: C.Camera, state, rgb_img_np, depth_img_np):
-        """runGS (gaussian_data_structures.cpp:138-156)."""
+        """runGS (gaussian_data_structures.cpp:138-156), including the
+        low-memory skip guard (:144-151, <100MB free -> skip the frame)."""
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            free = stats.get("bytes_limit", 0) - stats.get("bytes_in_use", 0)
+            if stats.get("bytes_limit", 0) and free < 100 * 1024 * 1024:
+                print("GaussianContainer::runGS | low device memory, "
+                      "skipping GS frame")
+                return
+        except Exception:
+            pass
         rgb = jnp.asarray(rgb_img_np, jnp.uint8)
         depth = jnp.asarray(depth_img_np, jnp.float32)
         cam_d = _cam_dict(cam)

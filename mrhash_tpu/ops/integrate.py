@@ -391,34 +391,57 @@ def _sample_depth_rgb(cfg: MapConfig, pc_depth, rgb_img, row, col, ok,
     row/col/ok: [A,512] projected pixels; bpos_center_rc: [A,2] block-center
     pixel.  Returns (depth [A,512], rgb u8 [A,512,3])."""
     H_, W_ = pc_depth.shape
-    ph = pw = int(cfg.sample_patch)
     A = row.shape[0]
 
     packed = (rgb_img[..., 0].astype(jnp.float32)
               + rgb_img[..., 1].astype(jnp.float32) * 256.0
               + rgb_img[..., 2].astype(jnp.float32) * 65536.0)
-    stacked = jnp.stack([pc_depth, packed], axis=-1)          # [H,W,2]
 
-    r0 = jnp.clip(bpos_center_rc[:, 0] - ph // 2, 0, H_ - ph)
-    c0 = jnp.clip(bpos_center_rc[:, 1] - pw // 2, 0, W_ - pw)
-    patches = jax.vmap(
-        lambda r, c: jax.lax.dynamic_slice(stacked, (r, c, 0),
-                                           (ph, pw, 2)))(r0, c0)
-    patches = patches.reshape(A, ph * pw, 2)
+    if cfg.sample_mode == "pallas":
+        from mrhash_tpu.ops import pallas_kernels as PK
+        ph, pw = PK.PATCH_H, PK.PATCH_W
+        # aligned patch origins (Mosaic slice constraints: 8-sublane /
+        # 128-lane); the patch is generous enough that only very-near
+        # blocks fall out
+        Hpad = ((H_ + 7) // 8) * 8
+        Wpad = ((W_ + 127) // 128) * 128
+        img_cf = jnp.zeros((2, Hpad, Wpad), jnp.float32)
+        img_cf = img_cf.at[:, :H_, :W_].set(jnp.stack([pc_depth, packed]))
+        r0 = jnp.clip(((bpos_center_rc[:, 0] - ph // 2) // 8) * 8, 0,
+                      Hpad - ph)
+        c0 = jnp.clip(((bpos_center_rc[:, 1] - pw // 2) // 128) * 128, 0,
+                      Wpad - pw)
+        lr = row - r0[:, None]
+        lc = col - c0[:, None]
+        in_patch = ok & (lr >= 0) & (lr < ph) & (lc >= 0) & (lc < pw)
+        lr_s = jnp.where(in_patch, lr, 0)
+        lc_s = jnp.where(in_patch, lc, 0)
+        sampled = PK.sample_image_pallas(img_cf, r0, c0, lr_s, lc_s)
+        depth = sampled[:, 0, :]
+        pack = sampled[:, 1, :]
+    else:
+        ph = pw = int(cfg.sample_patch)
+        stacked = jnp.stack([pc_depth, packed], axis=-1)      # [H,W,2]
+        r0 = jnp.clip(bpos_center_rc[:, 0] - ph // 2, 0, H_ - ph)
+        c0 = jnp.clip(bpos_center_rc[:, 1] - pw // 2, 0, W_ - pw)
+        patches = jax.vmap(
+            lambda r, c: jax.lax.dynamic_slice(stacked, (r, c, 0),
+                                               (ph, pw, 2)))(r0, c0)
+        patches = patches.reshape(A, ph * pw, 2)
 
-    lr = row - r0[:, None]
-    lc = col - c0[:, None]
-    in_patch = ok & (lr >= 0) & (lr < ph) & (lc >= 0) & (lc < pw)
-    pidx = jnp.where(in_patch, lr * pw + lc, 0)
+        lr = row - r0[:, None]
+        lc = col - c0[:, None]
+        in_patch = ok & (lr >= 0) & (lr < ph) & (lc >= 0) & (lc < pw)
+        pidx = jnp.where(in_patch, lr * pw + lc, 0)
 
-    # f32 one-hot dot: depth needs full mantissa (bf16 would quantize a 2m
-    # depth by ~1.6cm) and packed rgb needs 24 exact bits
-    oh = (pidx[..., None]
-          == jnp.arange(ph * pw, dtype=jnp.int32)).astype(jnp.float32)
-    sampled = jnp.einsum("alp,apk->alk", oh, patches,
-                         preferred_element_type=jnp.float32)  # [A,512,2]
-    depth = sampled[..., 0]
-    pack = sampled[..., 1]
+        # f32 one-hot dot: depth needs the full mantissa (bf16 would
+        # quantize a 2m depth by ~1.6cm); packed rgb needs 24 exact bits
+        oh = (pidx[..., None]
+              == jnp.arange(ph * pw, dtype=jnp.int32)).astype(jnp.float32)
+        sampled = jnp.einsum("alp,apk->alk", oh, patches,
+                             preferred_element_type=jnp.float32)  # [A,512,2]
+        depth = sampled[..., 0]
+        pack = sampled[..., 1]
 
     # --- compacted element-wise fallback for out-of-patch lanes -----------
     need = ok & ~in_patch
@@ -462,13 +485,25 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     pcam = C.world_to_cam(cam, pf)
     row, col, ok = C.project_point(cam, pcam)
 
-    # patch + one-hot MXU sampling instead of per-voxel image gathers
-    block_center = X.virtual_voxel_pos_to_world(
-        vvs, X.sdf_block_to_virtual_voxel_pos(bpos)) + 3.5 * vvs
-    cr, cc, _ = C.project_point_approx(cam, C.world_to_cam(cam, block_center))
-    center_rc = jnp.stack([cr, cc], axis=-1)
-    depth, rgb_new = _sample_depth_rgb(cfg, pc_depth, rgb_img, row, col, ok,
-                                       center_rc)
+    if cfg.sample_mode in ("patch", "pallas"):
+        # patch + one-hot MXU sampling instead of per-voxel image gathers
+        block_center = X.virtual_voxel_pos_to_world(
+            vvs, X.sdf_block_to_virtual_voxel_pos(bpos)) + 3.5 * vvs
+        cr, cc, _ = C.project_point_approx(cam,
+                                           C.world_to_cam(cam, block_center))
+        center_rc = jnp.stack([cr, cc], axis=-1)
+        depth, rgb_new = _sample_depth_rgb(cfg, pc_depth, rgb_img, row, col,
+                                           ok, center_rc)
+    else:
+        # two element-wise gathers: depth + bit-packed rgb (~115M elem/s)
+        W_ = pc_depth.shape[1]
+        depth = _sample_image(pc_depth.reshape(-1), row, col, W_, ok)
+        packed = (rgb_img[..., 0].astype(jnp.uint32)
+                  | (rgb_img[..., 1].astype(jnp.uint32) << 8)
+                  | (rgb_img[..., 2].astype(jnp.uint32) << 16))
+        pk = _sample_image(packed.reshape(-1), row, col, W_, ok)
+        rgb_new = jnp.stack([(pk & 255), ((pk >> 8) & 255),
+                             ((pk >> 16) & 255)], axis=-1).astype(jnp.uint8)
 
     depth_ok = ok & (depth != 0.0) & (depth <= cfg.max_integration_distance)
     sdf = depth - C.get_depth(cam, pcam)

@@ -1,0 +1,91 @@
+"""Pallas TPU kernels for the hot sampling path.
+
+`sample_image_pallas`: per-voxel image sampling for TSDF integration.  The
+2-channel image (depth + bit-packed rgb, channel-first) is pinned whole in
+VMEM; each grid step handles 8 voxel blocks, slices each block's aligned
+24x256 patch out of VMEM (free address arithmetic; Mosaic requires
+8-sublane / 128-lane aligned starts) and resolves every lane's pixel in two
+stages: a row one-hot matmul on the MXU ([512,24] @ [24,256]) followed by a
+column one-hot select-reduce on the VPU.  Replaces two ~115M-elem/s
+element-wise image gathers.
+
+Lanes whose pixel falls outside their block's patch (near, large-footprint
+blocks) return 0 and are served by the caller's compacted element-wise
+fallback.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PATCH_H = 24         # 8-aligned row origin + 16 rows of coverage
+PATCH_W = 256        # 128-aligned col origin + 128 cols of coverage
+BLOCKS_PER_STEP = 8  # unrolled per-step blocks (dim -2 must be %8)
+
+
+def _sample_kernel(r0_ref, c0_ref, img_hbm, lr_ref, lc_ref, out_ref,
+                   img_vmem, copy_sem):
+    i = pl.program_id(0)
+
+    # image: one HBM->VMEM DMA at step 0; the scratch persists across the
+    # (sequential) grid, avoiding pallas double-buffering a 7MB input
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(img_hbm, img_vmem, copy_sem).start()
+        pltpu.make_async_copy(img_hbm, img_vmem, copy_sem).wait()
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, PATCH_H), 1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, PATCH_W), 1)
+
+    for k in range(BLOCKS_PER_STEP):
+        r0 = pl.multiple_of(r0_ref[i * BLOCKS_PER_STEP + k], 8)
+        c0 = pl.multiple_of(c0_ref[i * BLOCKS_PER_STEP + k], 128)
+        patch = img_vmem[:, pl.ds(r0, PATCH_H), pl.ds(c0, PATCH_W)]
+        lr = lr_ref[k]                                       # [512]
+        lc = lc_ref[k]
+        oh_r = (lr[:, None] == iota_r).astype(jnp.float32)   # [512,24]
+        oh_c = (lc[:, None] == iota_c).astype(jnp.float32)   # [512,256]
+        for ch in range(2):
+            # HIGHEST: single-pass MXU bf16 would quantize depths by ~0.4%
+            rows = jnp.dot(oh_r, patch[ch],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # [512,256]
+            out_ref[k, ch, :] = jnp.sum(rows * oh_c, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sample_image_pallas(img_cf, r0, c0, lr, lc, interpret=False):
+    """img_cf f32[2,H,W] channel-first (depth, packed-rgb); r0 i32[A]
+    8-aligned row origins; c0 i32[A] 128-aligned col origins; lr/lc
+    i32[A,512] patch-local coordinates (out-of-patch lanes may carry any
+    in-range value; caller overrides their result).  A % 8 == 0.
+    Returns f32[A,2,512] (channel-middle: a trailing 2 would lane-pad 64x)."""
+    A, L = lr.shape
+    B = BLOCKS_PER_STEP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(A // B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),    # image (HBM)
+            pl.BlockSpec((B, L), lambda i, r0, c0: (i, 0),
+                         memory_space=pltpu.VMEM),              # lr rows
+            pl.BlockSpec((B, L), lambda i, r0, c0: (i, 0),
+                         memory_space=pltpu.VMEM),              # lc rows
+        ],
+        out_specs=pl.BlockSpec((B, 2, L), lambda i, r0, c0: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM(img_cf.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _sample_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((A, 2, L), jnp.float32),
+        interpret=interpret,
+    )(r0, c0, img_cf, lr, lc)
