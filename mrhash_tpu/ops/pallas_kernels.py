@@ -27,7 +27,7 @@ PATCH_W = 256        # 128-aligned col origin + 128 cols of coverage
 BLOCKS_PER_STEP = 8  # unrolled per-step blocks (dim -2 must be %8)
 
 
-def _sample_kernel(r0_ref, c0_ref, img_hbm, lr_ref, lc_ref, out_ref,
+def _sample_kernel(img_hbm, meta_ref, lr_ref, lc_ref, out_ref,
                    img_vmem, copy_sem):
     i = pl.program_id(0)
 
@@ -42,8 +42,8 @@ def _sample_kernel(r0_ref, c0_ref, img_hbm, lr_ref, lc_ref, out_ref,
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, PATCH_W), 1)
 
     for k in range(BLOCKS_PER_STEP):
-        r0 = pl.multiple_of(r0_ref[i * BLOCKS_PER_STEP + k], 8)
-        c0 = pl.multiple_of(c0_ref[i * BLOCKS_PER_STEP + k], 128)
+        r0 = pl.multiple_of(meta_ref[k, 0], 8)
+        c0 = pl.multiple_of(meta_ref[k, 1], 128)
         patch = img_vmem[:, pl.ds(r0, PATCH_H), pl.ds(c0, PATCH_W)]
         lr = lr_ref[k]                                       # [512]
         lc = lc_ref[k]
@@ -67,25 +67,30 @@ def sample_image_pallas(img_cf, r0, c0, lr, lc, interpret=False):
     A, L = lr.shape
     B = BLOCKS_PER_STEP
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=0,
         grid=(A // B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),    # image (HBM)
-            pl.BlockSpec((B, L), lambda i, r0, c0: (i, 0),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # image (HBM)
+            pl.BlockSpec((B, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),              # meta r0/c0
+            pl.BlockSpec((B, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),              # lr rows
-            pl.BlockSpec((B, L), lambda i, r0, c0: (i, 0),
+            pl.BlockSpec((B, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),              # lc rows
         ],
-        out_specs=pl.BlockSpec((B, 2, L), lambda i, r0, c0: (i, 0, 0),
+        out_specs=pl.BlockSpec((B, 2, L), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM(img_cf.shape, jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         _sample_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((A, 2, L), jnp.float32),
         interpret=interpret,
-    )(r0, c0, img_cf, lr, lc)
+    )
+    meta = jnp.zeros((A, 128), jnp.int32)
+    meta = meta.at[:, 0].set(r0).at[:, 1].set(c0)
+    return call(img_cf, meta, lr, lc)
