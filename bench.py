@@ -59,7 +59,7 @@ def main():
         sdf_truncation_scale=0.0, integration_weight_sample=1,
         max_integration_distance=30.0, n_frames_invalidate_voxels=100,
         num_blocks=1 << 19, max_active_blocks=1 << 17,
-        max_alloc_per_frame=1 << 14, sample_mode=sample_mode)
+        max_alloc_per_frame=1 << 13, sample_mode=sample_mode)
     cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
                          rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
     rng = np.random.default_rng(0)
@@ -84,7 +84,9 @@ def main():
     for i in range(n_warmup):
         state, stats = step(state, frame_cam(i), depths[i % 4], rgb)
     occ = int(stats["occupied_blocks"])
-    bucket = 1 << max(int(occ * 1.5).bit_length(), 12)
+    # 4096-granular bucket (pow2 buckets waste up to 2x in padded lanes);
+    # 1.6 headroom covers occupancy growth over the timed frames
+    bucket = max(-(-int(occ * 1.6) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
     cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
     step = pipeline.jit_integrate_rgbd(cfg_run)

@@ -244,9 +244,15 @@ class GeoWrapper:
         max_active_blocks and pick the smallest that fits last frame's
         occupancy — padding lanes cost real bandwidth on TPU."""
         occ = max(getattr(self, "_last_occupied", 0), 1)
-        bucket = _round_up_pow2(int(occ * 1.5) + 1024)
-        bucket = min(max(bucket, 1 << 12), self.cfg.max_active_blocks)
-        import dataclasses
+        # 4096-granular buckets: pow2 padding wastes bandwidth on every
+        # padded lane; hysteresis (1.5 up-headroom, shrink only below 60%)
+        # bounds recompiles
+        bucket = max(-(-int(occ * 1.5) // 4096) * 4096, 4096)
+        prev = getattr(self, "_bucket", 0)
+        if prev and bucket < prev and occ * 1.5 > prev * 0.6:
+            bucket = prev
+        bucket = min(bucket, self.cfg.max_active_blocks)
+        self._bucket = bucket
         return dataclasses.replace(self.cfg, max_active_blocks=bucket)
 
     def compute(self):
