@@ -128,7 +128,7 @@ class MapConfig:
     max_coarsen_per_frame: int = 1 << 12     # variance-merge queue
     low_split_chunk: int = 1 << 10           # high blocks split per refill
     sample_patch: int = 16                   # per-block image patch side
-    sample_fallback: int = 1 << 21           # out-of-patch lane budget
+    sample_fallback: int = 1 << 16           # out-of-patch lane budget
     sample_mode: str = "gather"              # gather | patch | pallas
 
     @property

@@ -98,8 +98,10 @@ class GeoWrapper:
         if max_active_blocks is None:
             max_active_blocks = min(num_blocks, 1 << 17)
 
+        sample_mode = ("pallas" if jax.default_backend() != "cpu"
+                       else "gather")
         self.cfg = MapConfig(
-            sample_mode="gather",  # fastest end-to-end (DESIGN.md perf log)
+            sample_mode=sample_mode,
             virtual_voxel_size=float(virtual_voxel_size),
             voxel_extents=(float(voxel_extents_scale),) * 3,
             sdf_truncation=float(sdf_truncation),

@@ -443,23 +443,34 @@ def _sample_depth_rgb(cfg: MapConfig, pc_depth, rgb_img, row, col, ok,
         depth = sampled[..., 0]
         pack = sampled[..., 1]
 
-    # --- compacted element-wise fallback for out-of-patch lanes -----------
+    # --- block-compacted element-wise fallback for out-of-patch lanes.
+    # NOTE: deliberately unconditional — XLA:TPU flattens lax.cond with
+    # array operands into both-branches+select, so gating buys nothing —
+    # and BLOCK-granular: a lane-granular compaction needs scatters with
+    # A*512 source updates, which cost ~60ms each even when dropped.
+    # Blocks beyond the budget skip the frame (staggered, like all other
+    # capacity overflows).
     need = ok & ~in_patch
-    B = int(cfg.sample_fallback)
-    flat_lane = jnp.arange(row.size, dtype=jnp.int32)
-    rank = jnp.cumsum(need.reshape(-1).astype(jnp.int32)) - 1
-    dest = jnp.where(need.reshape(-1) & (rank < B), rank, B)
-    sel = jnp.zeros((B,), jnp.int32).at[dest].set(flat_lane, mode="drop")
-    sel_ok = jnp.zeros((B,), bool).at[dest].set(True, mode="drop")
-    pr = row.reshape(-1)[sel]
-    pc_ = col.reshape(-1)[sel]
-    fidx = jnp.where(sel_ok, pr * W_ + pc_, 0)
+    BB = int(cfg.sample_fallback) // 512
+    bneed = jnp.any(need, axis=1)                           # [A]
+    brank = jnp.cumsum(bneed.astype(jnp.int32)) - 1
+    bdest = jnp.where(bneed & (brank < BB), brank, BB)
+    bsel = jnp.zeros((BB,), jnp.int32).at[bdest].set(
+        jnp.arange(A, dtype=jnp.int32), mode="drop")
+    bok = jnp.zeros((BB,), bool).at[bdest].set(True, mode="drop")
+
+    rsel = jnp.where(bok, bsel, 0)
+    fr = row[rsel]                                          # [BB,512]
+    fc = col[rsel]
+    fneed = need[rsel] & bok[:, None]
+    fidx = jnp.where(fneed, fr * W_ + fc, 0)
     fd = pc_depth.reshape(-1)[fidx]
     fp = packed.reshape(-1)[fidx]
-    depth = depth.reshape(-1).at[jnp.where(sel_ok, sel, row.size)].set(
-        fd, mode="drop").reshape(row.shape)
-    pack = pack.reshape(-1).at[jnp.where(sel_ok, sel, row.size)].set(
-        fp, mode="drop").reshape(row.shape)
+    md = jnp.where(fneed, fd, depth[rsel])
+    mp = jnp.where(fneed, fp, pack[rsel])
+    wdest = jnp.where(bok, bsel, A)
+    depth = depth.at[wdest].set(md, mode="drop", unique_indices=True)
+    pack = pack.at[wdest].set(mp, mode="drop", unique_indices=True)
 
     pk = jnp.clip(pack, 0, float(1 << 24)).astype(jnp.uint32)
     rgb = jnp.stack([pk % 256, (pk // 256) % 256, (pk // 65536) % 256],
