@@ -55,15 +55,9 @@ def collect_evicted(cfg: MapConfig, staging: int, table: H.HashTable, pool,
     dist = jnp.linalg.norm(pw - cam_pos, axis=-1)
     evict = occupied & (all_out | (dist >= radius))
 
-    rank = jnp.cumsum(evict.astype(jnp.int32)) - 1
-    take = evict & (rank < staging)
-    n_total = jnp.sum(evict.astype(jnp.int32))
+    sel, valid, n_total = H.compact_indices(evict, staging)
     n = jnp.minimum(n_total, staging)
-
-    dest = jnp.where(take, rank, staging)
-    slot_buf = jnp.full((staging,), -1, jnp.int32).at[dest].set(
-        jnp.arange(table.capacity, dtype=jnp.int32), mode="drop")
-    valid = slot_buf >= 0
+    slot_buf = jnp.where(valid, sel, -1)
     safe = jnp.where(valid, slot_buf, 0)
     out_pos = jnp.where(valid[:, None], table.pos[safe], 0)
     out_res = jnp.where(valid, table.res[safe], 0)

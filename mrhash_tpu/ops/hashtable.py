@@ -259,18 +259,33 @@ def split_high_blocks(table: HashTable, n_split: int):
                          heap_low=hl, low_count=lc)
 
 
+def compact_indices(mask, k: int):
+    """Positions of the first k set bits of `mask`, gather-formulated.
+
+    cumsum + searchsorted (k binary-search probes) instead of a scatter
+    whose source is the full mask length — on TPU a scatter costs ~60ms per
+    10M source updates even when most are dropped.
+
+    Returns (idx[k] int32 (=len(mask) padding), valid[k], total_count)."""
+    cs = jnp.cumsum(mask.astype(jnp.int32))
+    total = cs[-1]
+    idx = jnp.searchsorted(cs, jnp.arange(1, k + 1, dtype=jnp.int32),
+                           side="left").astype(jnp.int32)
+    valid = jnp.arange(k) < jnp.minimum(total, k)
+    idx = jnp.where(valid, idx, mask.shape[0])
+    return idx, valid, total
+
+
 def compact(table: HashTable, extra_mask=None, max_active: int = 0):
-    """flatAndReduceHashTable (voxel_data_structures.cu:405-499) as one
-    cumsum: gather the table slots of occupied (optionally frustum-filtered)
-    entries into a fixed [max_active] index buffer + count.
+    """flatAndReduceHashTable (voxel_data_structures.cu:405-499): gather the
+    table slots of occupied (optionally frustum-filtered) entries into a
+    fixed [max_active] index buffer + count.
 
     Returns (slots[max_active] int32 (=-1 padding), count int32)."""
     mask = table.ptr != FREE
     if extra_mask is not None:
         mask = mask & extra_mask
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    dest = jnp.where(mask & (rank < max_active), rank, max_active)
-    slots = jnp.full((max_active,), -1, jnp.int32).at[dest].set(
-        jnp.arange(table.capacity, dtype=jnp.int32), mode="drop")
-    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), max_active)
+    idx, valid, total = compact_indices(mask, max_active)
+    slots = jnp.where(valid, idx, -1)
+    count = jnp.minimum(total, max_active)
     return slots, count

@@ -246,11 +246,11 @@ def dedup_candidates(keys, valid, frame_salt, scratch_size: int, u_max: int):
         jnp.where(valid, cell, scratch_size)].set(idx, mode="drop")
     rep = valid & (scratch[cell] == idx)
 
-    rank = jnp.cumsum(rep.astype(jnp.int32)) - 1
-    dest = jnp.where(rep & (rank < u_max), rank, u_max)
-    ukeys = jnp.zeros((u_max, 3), jnp.int32).at[dest].set(keys, mode="drop")
-    uvalid = jnp.zeros((u_max,), bool).at[dest].set(True, mode="drop")
-    return ukeys, uvalid
+    # gather-formulated compaction (an M-source scatter costs ~6ms/M even
+    # when dropped)
+    sel, uvalid, _ = H.compact_indices(rep, u_max)
+    ukeys = keys[jnp.where(uvalid, sel, 0)]
+    return jnp.where(uvalid[:, None], ukeys, 0), uvalid
 
 
 def alloc_blocks(cfg: MapConfig, table: H.HashTable, keys, valid, frame):

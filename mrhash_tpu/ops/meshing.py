@@ -183,16 +183,13 @@ def cell_gate(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
 
 
 def compact_cells(pf, gate, max_cells: int):
-    """Scatter surviving cell centers into a fixed [max_cells] buffer."""
+    """Gather surviving cell centers into a fixed [max_cells] buffer."""
     flat_pf = pf.reshape(-1, 3)
     flat_gate = gate.reshape(-1)
-    rank = jnp.cumsum(flat_gate.astype(jnp.int32)) - 1
-    dest = jnp.where(flat_gate & (rank < max_cells), rank, max_cells)
-    out_pf = jnp.zeros((max_cells, 3), jnp.float32).at[dest].set(
-        flat_pf, mode="drop")
-    out_valid = jnp.zeros((max_cells,), bool).at[dest].set(True, mode="drop")
-    count = jnp.minimum(jnp.sum(flat_gate.astype(jnp.int32)), max_cells)
-    return out_pf, out_valid, count
+    sel, valid, total = H.compact_indices(flat_gate, max_cells)
+    out_pf = flat_pf[jnp.where(valid, sel, 0)]
+    out_pf = jnp.where(valid[:, None], out_pf, 0.0)
+    return out_pf, valid, jnp.minimum(total, max_cells)
 
 
 def extract_cells(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
@@ -265,19 +262,16 @@ def extract_cells(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
 
 
 def compact_triangles(tri_pos, tri_col, tri_mask, max_triangles: int):
-    """Prefix-sum append into the fixed triangle buffer (replaces the atomic
+    """Compacted append into the fixed triangle buffer (replaces the atomic
     appendTriangle, mesh_extractor.cu:44-55)."""
     flat_pos = tri_pos.reshape(-1, 3, 3)
     flat_col = tri_col.reshape(-1, 3, 3)
     flat_mask = tri_mask.reshape(-1)
-    rank = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
-    dest = jnp.where(flat_mask & (rank < max_triangles), rank, max_triangles)
-    out_pos = jnp.zeros((max_triangles, 3, 3), jnp.float32).at[dest].set(
-        flat_pos, mode="drop")
-    out_col = jnp.zeros((max_triangles, 3, 3), jnp.float32).at[dest].set(
-        flat_col, mode="drop")
-    count = jnp.minimum(jnp.sum(flat_mask.astype(jnp.int32)), max_triangles)
-    return out_pos, out_col, count
+    sel, valid, total = H.compact_indices(flat_mask, max_triangles)
+    safe = jnp.where(valid, sel, 0)
+    out_pos = jnp.where(valid[:, None, None], flat_pos[safe], 0.0)
+    out_col = jnp.where(valid[:, None, None], flat_col[safe], 0.0)
+    return out_pos, out_col, jnp.minimum(total, max_triangles)
 
 
 def extract_iso_surface(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
