@@ -85,8 +85,8 @@ def main():
         state, stats = step(state, frame_cam(i), depths[i % 4], rgb)
     occ = int(stats["occupied_blocks"])
     # 4096-granular bucket (pow2 buckets waste up to 2x in padded lanes);
-    # 1.6 headroom covers occupancy growth over the timed frames
-    bucket = max(-(-int(occ * 1.6) // 4096) * 4096, 4096)
+    # 2.1 headroom covers occupancy growth over the timed frames
+    bucket = max(-(-int(occ * 2.1) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
     cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
     step = pipeline.jit_integrate_rgbd(cfg_run)
