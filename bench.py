@@ -65,7 +65,7 @@ def main():
     rng = np.random.default_rng(0)
     state = make_state(cfg.num_blocks)
 
-    n_warmup, n_frames = 4, 20
+    n_warmup, n_frames = 10, 20
     rgb = jnp.asarray(rng.integers(0, 255, (rows, cols, 3)), jnp.uint8)
     depths = [synthetic_room_depth(rows, cols, cam0, rng)
               for _ in range(4)]
@@ -85,8 +85,8 @@ def main():
         state, stats = step(state, frame_cam(i), depths[i % 4], rgb)
     occ = int(stats["occupied_blocks"])
     # 4096-granular bucket (pow2 buckets waste up to 2x in padded lanes);
-    # 2.1 headroom covers occupancy growth over the timed frames
-    bucket = max(-(-int(occ * 2.1) // 4096) * 4096, 4096)
+    # 1.5 headroom over a 10-frame warmup (occupancy near steady state)
+    bucket = max(-(-int(occ * 1.5) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
     cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
     step = pipeline.jit_integrate_rgbd(cfg_run)
