@@ -72,7 +72,8 @@ def collect_evicted(cfg: MapConfig, staging: int, table: H.HashTable, pool,
 
     table, fptrs, fres, freed = H.free_slots(table, slot_buf, valid)
     from mrhash_tpu.ops.integrate import _clear_blocks
-    pool = _clear_blocks(pool, fptrs, fres, freed)
+    pool = _clear_blocks(pool, fptrs, fres, freed,
+                         multires=cfg.sdf_var_threshold > 0.0)
     return (table, pool, out_pos, out_res, n, out_sdf, out_ssq, out_w,
             out_rgb, n_total - n)
 

@@ -325,40 +325,39 @@ def _block_voxel_grid(bpos, bres, lane0=None):
 
 
 def _scatter_block_rows(pool: VoxelPool, row, bres, bvalid, update_mask,
-                        new, old):
+                        new, old, multires: bool = True):
     """Write per-block lane updates back to the pool the fast way:
     whole-row scatters for res-0 blocks (their rows are unique), element-
     wise window scatters for the (minority) res-1 blocks sharing carved
     rows.  `new`/`old` are dicts of [A,512(,3)] lane values; update_mask
-    [A,512] selects the lanes to change."""
+    [A,512] selects the lanes to change.
+
+    multires=False (single-resolution configs, sdf_var_threshold == 0)
+    statically drops the res-1 pass: XLA:TPU may flatten lax.cond into
+    both-branches+select, so even an always-false res-1 branch costs real
+    scatter time."""
     n_rows = pool.sdf.shape[0]
-    is0 = bvalid & (bres == 0)
-    is1 = bvalid & (bres == 1)
+    is0 = bvalid & ((bres == 0) if multires else True)
     row0 = jnp.where(is0, row, n_rows)
 
-    lanes = jnp.arange(LANES, dtype=jnp.int32)
-    flat_idx = row[:, None] * LANES + lanes[None, :]
-    w_mask = update_mask & is1[:, None]
-    flat_dest = jnp.where(w_mask, flat_idx, pool.num_voxels).reshape(-1)
+    if multires:
+        is1 = bvalid & (bres == 1)
+        lanes = jnp.arange(LANES, dtype=jnp.int32)
+        flat_idx = row[:, None] * LANES + lanes[None, :]
+        w_mask = update_mask & is1[:, None]
+        flat_dest = jnp.where(w_mask, flat_idx, pool.num_voxels).reshape(-1)
 
-    any_low = jnp.any(is1)
     out = {}
     for name, new_vals in new.items():
         m = (update_mask[..., None] if new_vals.ndim == 3 else update_mask)
         full = jnp.where(m, new_vals, old[name])
         arr = getattr(pool, name)
         arr = arr.at[row0].set(full, mode="drop", unique_indices=True)
-        # element-wise window pass only when res-1 blocks exist (single-res
-        # configs skip it at runtime; a fully-dropped scatter still costs
-        # ~100ms on TPU)
-        flat_shape = (-1, 3) if new_vals.ndim == 3 else (-1,)
-
-        def low_pass(arr, new_vals=new_vals, flat_shape=flat_shape):
+        if multires:
+            flat_shape = (-1, 3) if new_vals.ndim == 3 else (-1,)
             flat = arr.reshape(flat_shape).at[flat_dest].set(
                 new_vals.reshape(flat_shape), mode="drop")
-            return flat.reshape(arr.shape)
-
-        arr = jax.lax.cond(any_low, low_pass, lambda a: a, arr)
+            arr = flat.reshape(arr.shape)
         out[name] = arr
     return pool.replace(**out)
 
@@ -543,7 +542,8 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
 
     return _scatter_block_rows(
         pool, prow, bres, bvalid, update,
-        dict(sdf=m_sdf, weight=m_w, sumsq=m_ssq, rgb=m_rgb), old)
+        dict(sdf=m_sdf, weight=m_w, sumsq=m_ssq, rgb=m_rgb), old,
+        multires=cfg.sdf_var_threshold > 0.0)
 
 
 def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
@@ -683,10 +683,11 @@ def starve_voxels(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     w0 = pool.weight[prow]
     return _scatter_block_rows(
         pool, prow, bres, bvalid, starved,
-        dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0))
+        dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0),
+        multires=cfg.sdf_var_threshold > 0.0)
 
 
-def _clear_blocks(pool: VoxelPool, bptr, bres, mask):
+def _clear_blocks(pool: VoxelPool, bptr, bres, mask, multires=True):
     """deleteVoxel over whole blocks (voxel_data_structures.cu:1838-1842):
     zero the freed blocks' rows (res-0) / row windows (res-1)."""
     A = bptr.shape[0]
@@ -701,7 +702,8 @@ def _clear_blocks(pool: VoxelPool, bptr, bres, mask):
                 rgb=jnp.zeros((A, LANES, 3), jnp.uint8))
     old = _gather_block_rows(pool, prow)
     return _scatter_block_rows(pool, prow, bres, mask,
-                               in_window & mask[:, None], zero, old)
+                               in_window & mask[:, None], zero, old,
+                               multires=multires)
 
 
 def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
@@ -725,7 +727,8 @@ def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
     decision = bvalid & ((jnp.min(s, axis=1) >= trunc_max)
                          | (jnp.max(w, axis=1) == 0))
     table, ptrs, fres, freed = H.free_slots(table, slots, decision)
-    pool = _clear_blocks(pool, ptrs, fres, freed)
+    pool = _clear_blocks(pool, ptrs, fres, freed,
+                         multires=cfg.sdf_var_threshold > 0.0)
     return table, pool
 
 

@@ -206,7 +206,8 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
         w0 = pool.weight[prow]
         return I._scatter_block_rows(
             pool, prow, bres, bvalid, starved,
-            dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0))
+            dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0),
+            multires=lcfg.sdf_var_threshold > 0.0)
 
     gn = lcfg.num_blocks * n
     s = PSpec(AXIS)
