@@ -24,7 +24,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 PATCH_H = 24         # 8-aligned row origin + 16 rows of coverage
 PATCH_W = 256        # 128-aligned col origin + 128 cols of coverage
-BLOCKS_PER_STEP = 8  # unrolled per-step blocks (dim -2 must be %8)
+# unrolled per-step blocks (dim -2 must be %8).  Measured: b=16 is a wash
+# (112.0 vs 111.1 ms at A=2^15), b=32 OOMs scoped VMEM — per-block cost
+# (~3.9us) is the meta-read -> dynamic-slice -> dot dependency chain, not
+# grid overhead, so the remaining win is a fused-integrate formulation.
+BLOCKS_PER_STEP = 8
 
 # v2 kernel (EXPERIMENT, NOT USED): 5 bf16-exact channels (depth hi/lo
 # split + r/g/b), one single-pass bf16 MXU matmul per block with the
@@ -114,7 +118,7 @@ def sample_image_pallas_v2(img5, r0, c0, lr, lc, interpret=False):
     return call(img5, meta, lr, lc)
 
 
-def _sample_kernel(img_hbm, meta_ref, lr_ref, lc_ref, out_ref,
+def _sample_kernel(b, img_hbm, meta_ref, lr_ref, lc_ref, out_ref,
                    img_vmem, copy_sem):
     i = pl.program_id(0)
 
@@ -128,7 +132,7 @@ def _sample_kernel(img_hbm, meta_ref, lr_ref, lc_ref, out_ref,
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, PATCH_H), 1)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, PATCH_W), 1)
 
-    for k in range(BLOCKS_PER_STEP):
+    for k in range(b):
         r0 = pl.multiple_of(meta_ref[k, 0], 8)
         c0 = pl.multiple_of(meta_ref[k, 1], 128)
         patch = img_vmem[:, pl.ds(r0, PATCH_H), pl.ds(c0, PATCH_W)]
@@ -144,15 +148,16 @@ def _sample_kernel(img_hbm, meta_ref, lr_ref, lc_ref, out_ref,
             out_ref[k, ch, :] = jnp.sum(rows * oh_c, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sample_image_pallas(img_cf, r0, c0, lr, lc, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "b"))
+def sample_image_pallas(img_cf, r0, c0, lr, lc, interpret=False,
+                        b=BLOCKS_PER_STEP):
     """img_cf f32[2,H,W] channel-first (depth, packed-rgb); r0 i32[A]
     8-aligned row origins; c0 i32[A] 128-aligned col origins; lr/lc
     i32[A,512] patch-local coordinates (out-of-patch lanes may carry any
-    in-range value; caller overrides their result).  A % 8 == 0.
+    in-range value; caller overrides their result).  A % b == 0.
     Returns f32[A,2,512] (channel-middle: a trailing 2 would lane-pad 64x)."""
     A, L = lr.shape
-    B = BLOCKS_PER_STEP
+    B = b
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(A // B,),
@@ -173,7 +178,7 @@ def sample_image_pallas(img_cf, r0, c0, lr, lc, interpret=False):
         ],
     )
     call = pl.pallas_call(
-        _sample_kernel,
+        functools.partial(_sample_kernel, B),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((A, 2, L), jnp.float32),
         interpret=interpret,
