@@ -415,7 +415,11 @@ def _sample_depth_rgb(cfg: MapConfig, pc_depth, rgb_img, row, col, ok,
         in_patch = ok & (lr >= 0) & (lr < ph) & (lc >= 0) & (lc < pw)
         lr_s = jnp.where(in_patch, lr, 0)
         lc_s = jnp.where(in_patch, lc, 0)
-        sampled = PK.sample_image_pallas(img_cf, r0, c0, lr_s, lc_s)
+        # blocks with no in-patch lane (window padding, fully-fallback near
+        # blocks) skip the kernel's MXU work entirely
+        bactive = jnp.any(in_patch, axis=1)
+        sampled = PK.sample_image_pallas(img_cf, r0, c0, lr_s, lc_s,
+                                         bactive=bactive)
         depth = sampled[:, 0, :]
         pack = sampled[:, 1, :]
     else:
@@ -471,11 +475,16 @@ def _sample_depth_rgb(cfg: MapConfig, pc_depth, rgb_img, row, col, ok,
     depth = depth.at[wdest].set(md, mode="drop", unique_indices=True)
     pack = pack.at[wdest].set(mp, mode="drop", unique_indices=True)
 
+    # out-of-patch lanes of blocks beyond the fallback budget hold a
+    # patch[0,0] sample, not zero — zero them so they truly skip the frame
+    served = bneed & (brank < BB)                           # [A]
+    unserved = need & ~served[:, None]
+    depth = jnp.where(unserved, 0.0, depth)
+    pack = jnp.where(unserved, 0.0, pack)
+
     pk = jnp.clip(pack, 0, float(1 << 24)).astype(jnp.uint32)
     rgb = jnp.stack([pk % 256, (pk // 256) % 256, (pk // 65536) % 256],
                     axis=-1).astype(jnp.uint8)
-    # lanes beyond the fallback budget keep the one-hot zero sample ->
-    # depth 0 -> skipped this frame (counted overflow would go to stats)
     return depth, rgb
 
 
