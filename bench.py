@@ -53,7 +53,7 @@ def main():
     import dataclasses
 
     rows, cols = 680, 1200
-    sample_mode = "pallas" if jax.default_backend() != "cpu" else "gather"
+    sample_mode = "fused" if jax.default_backend() != "cpu" else "gather"
     cfg = MapConfig(
         virtual_voxel_size=0.01, sdf_truncation=0.07,
         sdf_truncation_scale=0.0, integration_weight_sample=1,

@@ -12,6 +12,7 @@ heap free counts) so one small device->host transfer per frame suffices.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -22,11 +23,13 @@ from mrhash_tpu.ops import camera as C
 from mrhash_tpu.ops import integrate as I
 
 
-def _stats(state: MapState, count):
+def _stats(state: MapState, count, unserved=None):
     return dict(occupied_blocks=count,
                 high_free=state.table.high_count,
                 low_free=state.table.low_count,
-                frame=state.frame)
+                frame=state.frame,
+                unserved_blocks=(jnp.int32(0) if unserved is None
+                                 else unserved))
 
 
 def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
@@ -44,8 +47,22 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
 
     # --- compaction + integration -----------------------------------------
     slots, count, bpos, bptr, bres, bvalid = I.compact_active(cfg, table, cam)
-    pool = I.integrate_depth(cfg, state.pool, cam, pc_depth, rgb_img,
-                             bpos, bptr, bres, bvalid)
+    unserved = None
+    if cfg.sample_mode == "fused" and cfg.sdf_var_threshold == 0.0:
+        # single fused Pallas pass (projection + sampling + TSDF merge);
+        # multi-res windows mix res-1 blocks that share carved pool rows,
+        # which the row-granular fused writeback cannot serve — they keep
+        # the split sampler path below
+        pool, iaux = I.fused_integrate_depth(
+            cfg, state.pool, cam, pc_depth, rgb_img,
+            bpos, bptr, bres, bvalid, frame=state.frame)
+        unserved = iaux["unserved_blocks"]
+    else:
+        icfg = cfg
+        if cfg.sample_mode == "fused":
+            icfg = dataclasses.replace(cfg, sample_mode="pallas")
+        pool = I.integrate_depth(icfg, state.pool, cam, pc_depth, rgb_img,
+                                 bpos, bptr, bres, bvalid)
 
     # --- variance-adaptive coarsening --------------------------------------
     if cfg.sdf_var_threshold > 0.0:
@@ -75,7 +92,7 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
             cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid)
 
     state = MapState(table=table, pool=pool, frame=state.frame + 1)
-    return state, _stats(state, count)
+    return state, _stats(state, count, unserved)
 
 
 def integrate_points(cfg: MapConfig, state: MapState, cam: C.Camera,

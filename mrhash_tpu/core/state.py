@@ -129,7 +129,8 @@ class MapConfig:
     low_split_chunk: int = 1 << 10           # high blocks split per refill
     sample_patch: int = 16                   # per-block image patch side
     sample_fallback: int = 1 << 16           # out-of-patch lane budget
-    sample_mode: str = "gather"              # gather | patch | pallas
+    sample_mode: str = "gather"              # gather | patch | pallas | fused
+    pallas_interpret: bool = False           # run kernels interpreted (CPU)
 
     @property
     def metric_block_size(self) -> float:

@@ -81,6 +81,8 @@ class GeoWrapper:
                  num_blocks: int | None = None,
                  max_active_blocks: int | None = None,
                  max_alloc_per_frame: int = 1 << 14,
+                 sample_mode: str | None = None,
+                 pallas_interpret: bool = False,
                  profiling: bool = True):
         free = _device_free_bytes()
         if gs_optimization_param_path:
@@ -98,10 +100,14 @@ class GeoWrapper:
         if max_active_blocks is None:
             max_active_blocks = min(num_blocks, 1 << 17)
 
-        sample_mode = ("pallas" if jax.default_backend() != "cpu"
-                       else "gather")
+        if sample_mode is None:
+            # fused = the one-kernel TPU production path; multi-res windows
+            # route to the split pallas sampler inside the pipeline
+            sample_mode = ("fused" if jax.default_backend() != "cpu"
+                           else "gather")
         self.cfg = MapConfig(
             sample_mode=sample_mode,
+            pallas_interpret=bool(pallas_interpret),
             virtual_voxel_size=float(virtual_voxel_size),
             voxel_extents=(float(voxel_extents_scale),) * 3,
             sdf_truncation=float(sdf_truncation),

@@ -13,6 +13,8 @@ int32s with masking.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -402,8 +404,8 @@ def _sample_depth_rgb(cfg: MapConfig, pc_depth, rgb_img, row, col, ok,
         # aligned patch origins (Mosaic slice constraints: 8-sublane /
         # 128-lane); the patch is generous enough that only very-near
         # blocks fall out
-        Hpad = ((H_ + 7) // 8) * 8
-        Wpad = ((W_ + 127) // 128) * 128
+        Hpad = max(((H_ + 7) // 8) * 8, ph)
+        Wpad = max(((W_ + 127) // 128) * 128, pw)
         img_cf = jnp.zeros((2, Hpad, Wpad), jnp.float32)
         img_cf = img_cf.at[:, :H_, :W_].set(jnp.stack([pc_depth, packed]))
         r0 = jnp.clip(((bpos_center_rc[:, 0] - ph // 2) // 8) * 8, 0,
@@ -419,7 +421,8 @@ def _sample_depth_rgb(cfg: MapConfig, pc_depth, rgb_img, row, col, ok,
         # blocks) skip the kernel's MXU work entirely
         bactive = jnp.any(in_patch, axis=1)
         sampled = PK.sample_image_pallas(img_cf, r0, c0, lr_s, lc_s,
-                                         bactive=bactive)
+                                         bactive=bactive,
+                                         interpret=cfg.pallas_interpret)
         depth = sampled[:, 0, :]
         pack = sampled[:, 1, :]
     else:
@@ -489,14 +492,18 @@ def _sample_depth_rgb(cfg: MapConfig, pc_depth, rgb_img, row, col, ok,
 
 
 def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
-                    pc_depth, rgb_img, bpos, bptr, bres, bvalid):
+                    pc_depth, rgb_img, bpos, bptr, bres, bvalid,
+                    lane_mask=None):
     """integrateDepthMapKernel (voxel_data_structures.cu:1094-1181): project
     every voxel of every compacted block into the frame, fuse SDF + color,
     accumulate Welford-style variance in sum_squared.
 
     The reference's benign read-modify-write race on sum_squared becomes an
     exact sequential update (one program per voxel).  Pool access is
-    row-structured (see VoxelPool)."""
+    row-structured (see VoxelPool).
+
+    lane_mask bool[A,512] (optional) restricts updates to the given lanes —
+    used by the fused-kernel fallback to serve only out-of-patch lanes."""
     vvs = cfg.virtual_voxel_size
     prow, lane0 = _block_rows(bptr, bvalid)
     pi, lane_valid = _block_voxel_grid(bpos, bres, lane0)   # [A,512,...]
@@ -532,6 +539,8 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     sdf = jnp.clip(sdf, -trunc, trunc)
 
     update = bvalid[:, None] & lane_valid & depth_ok & inside
+    if lane_mask is not None:
+        update = update & lane_mask
 
     old = _gather_block_rows(pool, prow)
     sdf0, w0, ssq0, rgb0 = old["sdf"], old["weight"], old["sumsq"], old["rgb"]
@@ -553,6 +562,127 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
         pool, prow, bres, bvalid, update,
         dict(sdf=m_sdf, weight=m_w, sumsq=m_ssq, rgb=m_rgb), old,
         multires=cfg.sdf_var_threshold > 0.0)
+
+
+# ---------------------------------------------------------------------------
+# fused-kernel depth integration (the TPU production path)
+# ---------------------------------------------------------------------------
+
+def _patch_origins(cam: C.Camera, bpos, vvs, hpad, wpad, ph, pw):
+    """Aligned patch origins from block-center projections — must match the
+    in-kernel scalar math of ops/fused_integrate.py exactly."""
+    center = X.virtual_voxel_pos_to_world(
+        vvs, X.sdf_block_to_virtual_voxel_pos(bpos)) + 3.5 * vvs
+    pc = C.world_to_cam(cam, center)
+    z = jnp.where(pc[..., 2] == 0, 1.0, pc[..., 2])
+    crow = (cam.fy * pc[..., 1] / z + cam.cy + 0.5).astype(jnp.int32)
+    ccol = (cam.fx * pc[..., 0] / z + cam.cx + 0.5).astype(jnp.int32)
+    r0 = jnp.clip(((crow - ph // 2) // 8) * 8, 0, hpad - ph)
+    c0 = jnp.clip(((ccol - pw // 2) // 128) * 128, 0, wpad - pw)
+    return r0, c0
+
+
+def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
+                          pc_depth, rgb_img, bpos, bptr, bres, bvalid,
+                          frame=None):
+    """One-kernel depth integration for res-0 blocks (the caller partitions
+    res-1 blocks to the XLA path in multi-res mode): pack pool rows, run the
+    fused Pallas kernel, scatter rows back, then serve out-of-patch lanes of
+    up to sample_fallback/512 blocks with the element-wise XLA path (rotated
+    by frame so overflow staggers instead of starving the same blocks).
+
+    Returns (pool', aux) with aux = dict(gc_min_s[A], gc_max_w[A],
+    unserved_blocks scalar) — the GC flags come free from the kernel."""
+    from mrhash_tpu.ops import fused_integrate as FI
+
+    H_, W_ = pc_depth.shape
+    A = bpos.shape[0]
+    hpad = max(((H_ + 7) // 8) * 8, FI.PATCH_H)
+    wpad = max(((W_ + 127) // 128) * 128, FI.PATCH_W)
+
+    packed = (rgb_img[..., 0].astype(jnp.float32)
+              + rgb_img[..., 1].astype(jnp.float32) * 256.0
+              + rgb_img[..., 2].astype(jnp.float32) * 65536.0)
+    img_cf = jnp.zeros((2, hpad, wpad), jnp.float32)
+    img_cf = img_cf.at[:, :H_, :W_].set(jnp.stack([pc_depth, packed]))
+
+    cam_vec = FI.make_cam_vec(
+        cam, cfg.virtual_voxel_size, cfg.sdf_truncation,
+        cfg.sdf_truncation_scale, cfg.max_integration_distance,
+        cfg.integration_weight_sample, cfg.integration_weight_max,
+        hpad, wpad)
+
+    meta = jnp.zeros((A, 128), jnp.int32)
+    meta = meta.at[:, :3].set(jnp.where(bvalid[:, None], bpos, 0))
+    meta = meta.at[:, 3].set(bvalid.astype(jnp.int32))
+
+    prow, _ = _block_rows(bptr, bvalid)
+    sdf_r = pool.sdf[prow]
+    ssq_r = pool.sumsq[prow]
+    w_r = pool.weight[prow]
+    rgb_r = pool.rgb[prow]
+    rgbp = (rgb_r[..., 0].astype(jnp.int32)
+            | (rgb_r[..., 1].astype(jnp.int32) << 8)
+            | (rgb_r[..., 2].astype(jnp.int32) << 16))
+    cast = jax.lax.bitcast_convert_type
+    pool_rows = jnp.concatenate(
+        [cast(sdf_r, jnp.int32), cast(ssq_r, jnp.int32), w_r, rgbp], axis=1)
+
+    out = FI.fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows,
+                                    interpret=cfg.pallas_interpret)
+
+    L = LANES
+    new_sdf = cast(out[:, 0:L], jnp.float32)
+    new_ssq = cast(out[:, L:2 * L], jnp.float32)
+    new_w = out[:, 2 * L:3 * L]
+    new_rgbp = out[:, 3 * L:4 * L]
+    new_rgb = jnp.stack([new_rgbp & 255, (new_rgbp >> 8) & 255,
+                         (new_rgbp >> 16) & 255], axis=-1).astype(jnp.uint8)
+
+    n_rows = pool.sdf.shape[0]
+    row0 = jnp.where(bvalid, prow, n_rows)
+    pool = pool.replace(
+        sdf=pool.sdf.at[row0].set(new_sdf, mode="drop", unique_indices=True),
+        sumsq=pool.sumsq.at[row0].set(new_ssq, mode="drop",
+                                      unique_indices=True),
+        weight=pool.weight.at[row0].set(new_w, mode="drop",
+                                        unique_indices=True),
+        rgb=pool.rgb.at[row0].set(new_rgb, mode="drop", unique_indices=True))
+
+    aux = dict(gc_min_s=cast(out[:, 4 * L + 1], jnp.float32),
+               gc_max_w=out[:, 4 * L + 2])
+
+    # --- bounded element-wise fallback for out-of-patch (near) blocks -------
+    BB = int(cfg.sample_fallback) // L
+    bneed = bvalid & (out[:, 4 * L] > 0)
+    # rotate the served set with the frame so overflow staggers rather than
+    # starving the same near blocks every frame
+    if frame is not None:
+        shift = (frame.astype(jnp.int32) * 4097) % A
+        rolled = jnp.roll(bneed, -shift)
+        sel_r, ok_r, total_need = H.compact_indices(rolled, BB)
+        bsel = (jnp.where(ok_r, sel_r, 0) + shift) % A
+        bok = ok_r
+    else:
+        sel_r, bok, total_need = H.compact_indices(bneed, BB)
+        bsel = jnp.where(bok, sel_r, 0)
+    aux["unserved_blocks"] = total_need - jnp.sum(bok.astype(jnp.int32))
+
+    fb_pos = bpos[bsel]
+    r0, c0 = _patch_origins(cam, fb_pos, cfg.virtual_voxel_size,
+                            hpad, wpad, FI.PATCH_H, FI.PATCH_W)
+    pif, _ = _block_voxel_grid(fb_pos, jnp.zeros((BB,), jnp.int32))
+    pf = X.virtual_voxel_pos_to_world(cfg.virtual_voxel_size, pif)
+    row, col, okp = C.project_point(cam, C.world_to_cam(cam, pf))
+    lr = row - r0[:, None]
+    lc = col - c0[:, None]
+    out_of_patch = ~((lr >= 0) & (lr < FI.PATCH_H)
+                     & (lc >= 0) & (lc < FI.PATCH_W))
+    fcfg = dataclasses.replace(cfg, sample_mode="gather")
+    pool = integrate_depth(fcfg, pool, cam, pc_depth, rgb_img,
+                           fb_pos, bptr[bsel], bres[bsel], bok,
+                           lane_mask=out_of_patch)
+    return pool, aux
 
 
 def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
