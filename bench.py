@@ -59,11 +59,15 @@ def main():
         sdf_truncation_scale=0.0, integration_weight_sample=1,
         max_integration_distance=30.0, n_frames_invalidate_voxels=100,
         num_blocks=1 << 19, max_active_blocks=1 << 17,
+        # 4 buckets/block -> hash capacity C = 1.3M slots instead of the
+        # reference's 10x-oversized C = 5.2M; insert/compact/GC all touch
+        # C-sized arrays every frame (load factor stays <= 0.4 even full)
+        num_buckets=1 << 17,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode)
     cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
                          rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
     rng = np.random.default_rng(0)
-    state = make_state(cfg.num_blocks)
+    state = make_state(cfg.num_blocks, cfg.num_buckets or None)
 
     n_warmup, n_frames = 10, 20
     rgb = jnp.asarray(rng.integers(0, 255, (rows, cols, 3)), jnp.uint8)

@@ -88,8 +88,12 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
             (state.frame > 0) & (state.frame % n == 0),
             lambda p: I.starve_voxels(cfg, p, cam, bpos, bptr, bres, bvalid),
             lambda p: p, pool)
+        flags = None
+        if unserved is not None:  # fused path: GC inputs ride the kernel out
+            flags = (iaux["gc_min_s"], iaux["gc_max_w"])
         table, pool = I.garbage_collect_sweep(
-            cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid)
+            cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid,
+            kernel_flags=flags)
 
     state = MapState(table=table, pool=pool, frame=state.frame + 1)
     return state, _stats(state, count, unserved)

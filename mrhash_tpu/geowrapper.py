@@ -124,7 +124,8 @@ class GeoWrapper:
             max_active_blocks=int(max_active_blocks),
             max_alloc_per_frame=int(max_alloc_per_frame),
         )
-        self.state = make_state(self.cfg.num_blocks)
+        self.state = make_state(self.cfg.num_blocks,
+                                self.cfg.num_buckets or None)
         self.streamer = Streamer(self.cfg, staging)
         self.mesh = mesh_post.MeshAccumulator(vertices_merging_threshold)
         self.viewer_active = viewer_active
@@ -443,7 +444,8 @@ class GeoWrapper:
     # fields before first use).
     def _rebuild(self, **cfg_updates):
         self.cfg = dataclasses.replace(self.cfg, **cfg_updates)
-        self.state = make_state(self.cfg.num_blocks)
+        self.state = make_state(self.cfg.num_blocks,
+                                self.cfg.num_buckets or None)
         self.streamer = Streamer(self.cfg, self.streamer.staging)
         self._high_free = self.cfg.num_blocks
 

@@ -49,7 +49,10 @@ N_CH = 5              # d_hi, d_lo, r, g, b — all exactly representable in bf1
 LANES = 512           # voxels per res-0 block
 POOL_LANES = 4 * LANES          # sdf | sumsq | weight | rgbp
 OUT_LANES = POOL_LANES + 128    # + flag lanes (2048: unserved count)
-BLOCKS_PER_STEP = 8
+# measured on v5e at A=2^15 (tools/kernel_bench.py): b=16 -> 10.4ms
+# (0.32us/slot), b=32 -> 10.7ms, b=8 -> a 7.5s Mosaic scheduling pathology
+# with fully-active windows.  16 leaves VMEM headroom; never use 8.
+BLOCKS_PER_STEP = 16
 
 # cam vector layout (f32[1,128]):
 # 0:fx 1:fy 2:cx 3:cy 4:min_depth 5:max_depth 6..14:rot(row-major cam->world)

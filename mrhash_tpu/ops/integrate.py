@@ -246,12 +246,12 @@ def dedup_candidates(keys, valid, frame_salt, scratch_size: int, u_max: int):
     # combiner scatters (.max/.min/.add) serialize
     scratch = jnp.full((scratch_size,), -1, jnp.int32).at[
         jnp.where(valid, cell, scratch_size)].set(idx, mode="drop")
-    rep = valid & (scratch[cell] == idx)
-
-    # gather-formulated compaction (an M-source scatter costs ~6ms/M even
-    # when dropped)
-    sel, uvalid, _ = H.compact_indices(rep, u_max)
-    ukeys = keys[jnp.where(uvalid, sel, 0)]
+    # winners are read off the SCRATCH (occupied cells), not by re-gathering
+    # scratch[cell] per candidate — that M-element gather measured 10-30ms at
+    # M=1.2M on v5e (round-2 breakdown: dedup was 22ms of the frame)
+    sel, uvalid, _ = H.compact_indices(scratch >= 0, u_max)
+    cand = scratch[jnp.where(uvalid, sel, 0)]
+    ukeys = keys[jnp.where(uvalid, cand, 0)]
     return jnp.where(uvalid[:, None], ukeys, 0), uvalid
 
 
@@ -794,9 +794,16 @@ def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
 
 def starve_voxels(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
                   bpos, bptr, bres, bvalid):
-    """starveVoxelsKernel two-pass z-buffer (voxel_data_structures.cu:
-    1596-1671): the front-most voxel per pixel (lowest program id on depth
-    ties, for reproducibility) gets its weight decremented."""
+    """starveVoxelsKernel z-buffer (voxel_data_structures.cu:1596-1671): the
+    front-most voxel per pixel gets its weight decremented.
+
+    The winner test reads the z-buffer back per voxel THROUGH THE PATCH
+    SAMPLER (the z-buffer is an image) instead of an element-wise gather —
+    two 16.7M-element gathers plus the tie-break pass measured 662ms/event
+    on v5e; this formulation costs one scatter-min + one sampler pass.
+    Deviation D11 (DESIGN.md): voxels tied at the exact same f32 depth all
+    starve (the reference tie-breaks to the lowest thread id); ties between
+    distinct voxels are measure-zero and starvation is a decay heuristic."""
     vvs = cfg.virtual_voxel_size
     prow, lane0 = _block_rows(bptr, bvalid)
     pi, lane_valid = _block_voxel_grid(bpos, bres, lane0)
@@ -807,17 +814,29 @@ def starve_voxels(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     ok = ok & (depth >= cam.min_depth) & bvalid[:, None] & lane_valid
 
     HW = cam.rows * cam.cols
+    FAR = jnp.float32(1e30)  # finite sentinel (INF through bf16 MXU is UB)
     pix = jnp.where(ok, row * cam.cols + col, HW).reshape(-1)
-    d = jnp.where(ok, depth, INF).reshape(-1)
+    d = jnp.where(ok, depth, FAR).reshape(-1)
+    zbuf = jnp.full((HW,), FAR, jnp.float32).at[pix].min(d, mode="drop")
 
-    zbuf = jnp.full((HW,), INF, jnp.float32).at[pix].min(d, mode="drop")
-    is_front = ok.reshape(-1) & (d == zbuf[jnp.where(pix < HW, pix, 0)])
-    tid = jnp.arange(d.shape[0], dtype=jnp.int32)
-    tbuf = jnp.full((HW,), jnp.iinfo(jnp.int32).max, jnp.int32).at[
-        jnp.where(is_front, pix, HW)].min(tid, mode="drop")
-    starved = (is_front
-               & (tbuf[jnp.where(pix < HW, pix, 0)] == tid)).reshape(
-        (-1, LANES))
+    if cfg.sample_mode in ("patch", "pallas", "fused"):
+        zimg = zbuf.reshape(cam.rows, cam.cols)
+        scfg = dataclasses.replace(
+            cfg, sample_mode="pallas" if cfg.sample_mode == "fused"
+            else cfg.sample_mode)
+        block_center = X.virtual_voxel_pos_to_world(
+            vvs, X.sdf_block_to_virtual_voxel_pos(bpos)) + 3.5 * vvs
+        cr, cc, _ = C.project_point_approx(cam,
+                                           C.world_to_cam(cam, block_center))
+        center_rc = jnp.stack([cr, cc], axis=-1)
+        zeros_rgb = jnp.zeros((cam.rows, cam.cols, 3), jnp.uint8)
+        zsamp, _ = _sample_depth_rgb(scfg, zimg, zeros_rgb, row, col, ok,
+                                     center_rc)
+        starved = ok & (depth == zsamp)
+    else:
+        starved = (ok.reshape(-1)
+                   & (d == zbuf[jnp.where(pix < HW, pix, 0)])).reshape(
+            (-1, LANES))
 
     w0 = pool.weight[prow]
     return _scatter_block_rows(
@@ -847,24 +866,34 @@ def _clear_blocks(pool: VoxelPool, bptr, bres, mask, multires=True):
 
 def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
                           pool: VoxelPool, cam: C.Camera,
-                          slots, bpos, bptr, bres, bvalid):
+                          slots, bpos, bptr, bres, bvalid,
+                          kernel_flags=None):
     """garbageCollectIdentify + Free (voxel_data_structures.cu:1673-1854):
     free blocks whose min |sdf| exceeds the max-depth truncation or whose max
-    weight is zero."""
-    prow, lane0 = _block_rows(bptr, bvalid)
-    lanes = jnp.arange(LANES, dtype=jnp.int32)
-    local = lanes[None, :] - lane0[:, None]
-    nvox = jnp.where(bres == 1, P.TOTAL_LOW_BLOCK_SIZE, LANES)[:, None]
-    lane_valid = (local >= 0) & (local < nvox)
-    w_rows = pool.weight[prow]
-    s_rows = pool.sdf[prow]
-    w = jnp.where(bvalid[:, None] & lane_valid, w_rows, 0)
-    s = jnp.where((w > 0) & lane_valid, jnp.abs(s_rows), INF)
+    weight is zero.
 
+    kernel_flags = (min_abs_sdf[A], max_w[A]) from the fused integrate
+    kernel's flag lanes: skips the w/sdf row gathers.  On starve frames the
+    flags predate the starvation decrement, so a block starved to weight 0
+    is freed one frame later (deviation D12, DESIGN.md)."""
     trunc_max = X.get_truncation(cam.max_depth, cfg.sdf_truncation,
                                  cfg.sdf_truncation_scale)
-    decision = bvalid & ((jnp.min(s, axis=1) >= trunc_max)
-                         | (jnp.max(w, axis=1) == 0))
+    if kernel_flags is not None:
+        min_s, max_w = kernel_flags
+        decision = bvalid & ((min_s >= trunc_max) | (max_w == 0))
+        prow, lane0 = _block_rows(bptr, bvalid)
+    else:
+        prow, lane0 = _block_rows(bptr, bvalid)
+        lanes = jnp.arange(LANES, dtype=jnp.int32)
+        local = lanes[None, :] - lane0[:, None]
+        nvox = jnp.where(bres == 1, P.TOTAL_LOW_BLOCK_SIZE, LANES)[:, None]
+        lane_valid = (local >= 0) & (local < nvox)
+        w_rows = pool.weight[prow]
+        s_rows = pool.sdf[prow]
+        w = jnp.where(bvalid[:, None] & lane_valid, w_rows, 0)
+        s = jnp.where((w > 0) & lane_valid, jnp.abs(s_rows), INF)
+        decision = bvalid & ((jnp.min(s, axis=1) >= trunc_max)
+                             | (jnp.max(w, axis=1) == 0))
     table, ptrs, fres, freed = H.free_slots(table, slots, decision)
     pool = _clear_blocks(pool, ptrs, fres, freed,
                          multires=cfg.sdf_var_threshold > 0.0)

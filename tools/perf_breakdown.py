@@ -47,7 +47,7 @@ def main():
     cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
                          rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
     rng = np.random.default_rng(0)
-    state = make_state(cfg.num_blocks)
+    state = make_state(cfg.num_blocks, cfg.num_buckets or None)
     rgb = jnp.asarray(rng.integers(0, 255, (rows, cols, 3)), jnp.uint8)
     depths = [synthetic_room_depth(rows, cols, cam0, rng) for _ in range(4)]
 
