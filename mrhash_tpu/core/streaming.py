@@ -82,7 +82,18 @@ def insert_blocks(cfg: MapConfig, staging: int, table: H.HashTable, pool,
                   pos, res, valid, sdf, ssq, w, rgb):
     """chunkToGlobalHashPass1+2 (streamer.cu:249-350): batched re-insert of
     host blocks with payload scatter.  Already-resident keys are skipped (no
-    duplicates).  Returns (table', pool', n_inserted)."""
+    duplicates).  Returns (table', pool', n_inserted, present[S]) — `present`
+    lets the host re-queue blocks that found no slot/heap space instead of
+    silently losing them (the reference warns 'possible memory leak',
+    streamer.cu:276-277).
+
+    The low heap is refilled by splitting high blocks when the batch needs
+    more res-1 blocks than are free (allocateMemoryLow semantics) — without
+    this, deserializing a multi-res map into a fresh container (low_count=0)
+    would drop every coarse block."""
+    need_low = jnp.sum((valid & (res == 1)).astype(jnp.int32))
+    table = H.split_high_blocks(table, cfg.low_split_chunk,
+                                enable=table.low_count < need_low)
     table, info = H.insert(table, pos, valid, res)
     new = info["was_new"]
     ptr = info["ptr"]
@@ -97,7 +108,7 @@ def insert_blocks(cfg: MapConfig, staging: int, table: H.HashTable, pool,
         sumsq=pool.flat_sumsq.at[vidx].set(ssq.reshape(-1), mode="drop"),
         weight=pool.flat_weight.at[vidx].set(w.reshape(-1), mode="drop"),
         rgb=pool.flat_rgb.at[vidx].set(rgb.reshape(-1, 3), mode="drop"))
-    return table, pool, jnp.sum(new.astype(jnp.int32))
+    return table, pool, jnp.sum(new.astype(jnp.int32)), info["present"]
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +255,7 @@ class Streamer:
 
             valid = np.zeros((s,), bool)
             valid[:cnt] = True
-            table, pool, n_ins = self._insert(
+            table, pool, n_ins, present = self._insert(
                 state.table, state.pool,
                 jnp.asarray(pad(blocks["pos"].astype(np.int32))),
                 jnp.asarray(pad(blocks["res"].astype(np.int32))),
@@ -254,6 +265,20 @@ class Streamer:
                 jnp.asarray(pad(blocks["w"])),
                 jnp.asarray(pad(blocks["rgb"])))
             state = state.replace(table=table, pool=pool)
+            # blocks the device could not place (full probe window / dry
+            # heap) go back into the host grid instead of being lost — the
+            # reference only warns (streamer.cu:276-277)
+            failed = valid & ~np.asarray(present)
+            if failed.any():
+                idx = np.nonzero(failed[:cnt])[0] + sl.start
+                pos_f = blocks["pos"][idx].astype(np.int32)
+                bw = (pos_f.astype(np.float64) * P.SDF_BLOCK_SIZE
+                      * self.cfg.virtual_voxel_size)
+                self.grid.add_blocks(bw, pos_f, blocks["res"][idx],
+                                     blocks["sdf"][idx], blocks["ssq"][idx],
+                                     blocks["w"][idx], blocks["rgb"][idx])
+                print(f"Streamer | stream_in: {idx.size} blocks did not fit "
+                      "the device hash; kept in RAM")
         return state
 
     def stream(self, state: MapState, cam_pos, radius) -> MapState:

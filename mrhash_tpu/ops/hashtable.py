@@ -245,11 +245,14 @@ def free_slots(table: HashTable, slots, mask):
     return table, ptrs, res, mask
 
 
-def split_high_blocks(table: HashTable, n_split: int):
+def split_high_blocks(table: HashTable, n_split: int, enable=None):
     """allocateMemoryLow (voxel_data_structures.cu:859-871): pop n_split
     res-0 blocks from the high heap and push their 8 sub-block ids each onto
-    the low heap.  n_split is static."""
+    the low heap.  n_split is static; `enable` (traced bool) gates the whole
+    refill (used as "refill only when the low heap is short")."""
     want = jnp.arange(n_split) < jnp.minimum(n_split, table.high_count)
+    if enable is not None:
+        want = want & enable
     ids, got, high_count = _heap_draw(table.heap_high, table.high_count, want)
     sub = (ids[:, None] * P.OCTREE_BRANCHING_FACTOR
            + jnp.arange(P.OCTREE_BRANCHING_FACTOR, dtype=jnp.int32)).reshape(-1)

@@ -938,16 +938,8 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
 
     # refill low heap if short (allocateMemoryLow)
     need = jnp.sum(rvalid.astype(jnp.int32))
-    short = table.low_count < need
-    n_split = cfg.low_split_chunk
-    want = (jnp.arange(n_split) < n_split) & short
-    ids, got, high_count = H._heap_draw(table.heap_high, table.high_count,
-                                        want)
-    sub = (ids[:, None] * P.OCTREE_BRANCHING_FACTOR
-           + jnp.arange(P.OCTREE_BRANCHING_FACTOR, dtype=jnp.int32)).reshape(-1)
-    hl, lc = H._heap_push(table.heap_low, table.low_count, sub,
-                          jnp.repeat(got, P.OCTREE_BRANCHING_FACTOR))
-    table = table.replace(high_count=high_count, heap_low=hl, low_count=lc)
+    table = H.split_high_blocks(table, cfg.low_split_chunk,
+                                enable=table.low_count < need)
 
     table, info = H.insert(table, rkeys, rvalid, jnp.ones((u,), jnp.int32))
     return table, pool, info["slot"], info["was_new"]

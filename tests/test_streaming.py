@@ -143,3 +143,43 @@ def test_serialize_data_ply(tmp_path):
     assert "weight" in props and "sdf" in props
     # voxel points sit near the wall depth
     assert abs(np.median(vp[:, 2]) - 2.0) < 0.5
+
+
+def test_multires_deserialize_into_fresh_map(tmp_path):
+    """Coarse (res-1) blocks must survive a checkpoint -> fresh-container ->
+    stream-in cycle: the fresh map's low heap starts empty (low_count=0), so
+    insert_blocks must refill it by splitting high blocks (allocateMemoryLow
+    semantics) instead of silently dropping every res-1 block."""
+    import dataclasses
+    cfg, cam = make_setup()
+    cfg = dataclasses.replace(cfg, sdf_var_threshold=10.0)  # coarsen a lot
+    state = make_state(cfg.num_blocks)
+    streamer = Streamer(cfg, staging_size=4096)
+    rng = np.random.default_rng(3)
+    rgb = jnp.full((ROWS, COLS, 3), 100, jnp.uint8)
+    rot, t = circular_pose(0, 12)
+    cam0 = C.with_pose(cam, rot, t)
+    for _ in range(4):  # frame>0 triggers coarsening; tiny noise -> 0<var<thr
+        depth = jnp.asarray(2.5 + rng.normal(0, 0.002, (ROWS, COLS)),
+                            jnp.float32)
+        state, _ = pipeline.integrate_rgbd(cfg, state, cam0, depth, rgb)
+    res_before = int(np.sum((np.asarray(state.table.res) == 1)
+                            & (np.asarray(state.table.ptr) != P.FREE_ENTRY)))
+    assert res_before > 0, "scene did not coarsen; test setup broken"
+
+    state = streamer.stream_all_out(state)
+    path = str(tmp_path / "grid.npz")
+    streamer.serialize_grid(path)
+
+    # fresh container + streamer (low heap empty)
+    state2 = make_state(cfg.num_blocks)
+    streamer2 = Streamer(cfg, staging_size=4096)
+    streamer2.deserialize_grid(path)
+    n_ram = streamer2.grid.num_blocks()
+    state2 = streamer2.stream_in(state2, np.asarray(t), 100.0)
+
+    occ = np.asarray(state2.table.ptr) != P.FREE_ENTRY
+    res1 = int(np.sum((np.asarray(state2.table.res) == 1) & occ))
+    assert res1 == res_before, (res1, res_before)
+    # nothing lost: resident + still-in-RAM == checkpointed
+    assert int(occ.sum()) + streamer2.grid.num_blocks() == n_ram
