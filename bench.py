@@ -19,9 +19,11 @@ BASELINE_FPS = 48.9  # Replica single-res, docs/index.html runtime table
 
 
 def synthetic_room_depth(rows, cols, cam, rng):
-    """Depth for a 6 m box room viewed from inside: ray-box intersection —
-    realistic depth variation (not a constant wall) so allocation touches a
-    realistic number of blocks per frame."""
+    """Depth for a 6 m box room viewed from inside: world-space ray-box
+    intersection consistent with the camera's pose, so re-observing the room
+    from another pose sees the SAME world geometry (an earlier version
+    intersected in the camera frame, which rotated the room with the camera
+    and allocated a fresh phantom shell every frame)."""
     import jax.numpy as jnp
 
     from mrhash_tpu.ops import camera as C
@@ -30,11 +32,15 @@ def synthetic_room_depth(rows, cols, cam, rng):
     rays = C.inverse_projection(cam, jnp.broadcast_to(r, (rows, cols)),
                                 jnp.broadcast_to(c, (rows, cols)),
                                 jnp.ones((rows, cols), jnp.float32))
-    d = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
-    # box [-3,3]^3 centred on origin; camera at origin: t per axis
-    t_hit = jnp.where(jnp.abs(d) > 1e-6, 3.0 / jnp.abs(d), jnp.inf)
-    t = jnp.min(t_hit, axis=-1)
-    depth = t * d[..., 2]  # depth image stores z
+    d_cam = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    d_w = jnp.einsum("ij,rcj->rci", cam.rot, d_cam)   # cam->world rotation
+    org = cam.trans
+    # box [-3,3]^3 centred on origin: slab intersection from org along d_w
+    inv = jnp.where(jnp.abs(d_w) > 1e-6, 1.0 / d_w, jnp.inf)
+    t1 = (-3.0 - org) * inv
+    t2 = (3.0 - org) * inv
+    t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    depth = t_far * d_cam[..., 2]  # depth image stores camera z
     noise = jnp.asarray(rng.normal(0, 0.003, (rows, cols)), jnp.float32)
     return jnp.clip(depth + noise, 0.0, 29.0).astype(jnp.float32)
 
@@ -63,49 +69,62 @@ def main():
         # reference's 10x-oversized C = 5.2M; insert/compact/GC all touch
         # C-sized arrays every frame (load factor stays <= 0.4 even full)
         num_buckets=1 << 17,
-        max_alloc_per_frame=1 << 13, sample_mode=sample_mode)
+        max_alloc_per_frame=1 << 13, sample_mode=sample_mode,
+        alloc_tile=4)
     cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
                          rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
     rng = np.random.default_rng(0)
     state = make_state(cfg.num_blocks, cfg.num_buckets or None)
 
-    n_warmup, n_frames = 10, 20
+    # full-revolution orbit: warmup covers one revolution (the whole room
+    # gets allocated), timed frames re-observe the same poses — the steady
+    # state the reference's per-frame runtimes live in (the map is mostly
+    # built; per-frame allocation is a few hundred blocks, not a frontier)
+    orbit = 40
+    n_warmup, n_frames = orbit, 20
     rgb = jnp.asarray(rng.integers(0, 255, (rows, cols, 3)), jnp.uint8)
-    depths = [synthetic_room_depth(rows, cols, cam0, rng)
-              for _ in range(4)]
 
     def frame_cam(i):
-        th = 0.02 * i
+        th = 2.0 * np.pi * (i % orbit) / orbit
         rot = np.array([[np.cos(th), 0, np.sin(th)],
                         [0, 1, 0],
                         [-np.sin(th), 0, np.cos(th)]], np.float32)
-        t = np.array([0.01 * i, 0.0, 0.0], np.float32)
+        t = np.array([0.05 * np.sin(th), 0.02 * np.cos(th), 0.0], np.float32)
         return C.with_pose(cam0, jnp.asarray(rot), jnp.asarray(t))
 
+    depths = [synthetic_room_depth(rows, cols, frame_cam(i), rng)
+              for i in range(orbit)]
+
     # warmup at full window, then re-fit the compacted-block bucket to the
-    # scene's real occupancy (padding lanes cost real bandwidth)
+    # scene's real occupancy (padding lanes cost real bandwidth): fit from
+    # the measured occupancy growth so the window never clips during the
+    # timed frames (an occupied count == bucket means active blocks were
+    # silently skipped — a dishonest speedup)
     step = pipeline.jit_integrate_rgbd(cfg)
+    occ_max = 0
     for i in range(n_warmup):
-        state, stats = step(state, frame_cam(i), depths[i % 4], rgb)
+        state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
+        occ_max = max(occ_max, int(stats["occupied_blocks"]))
     occ = int(stats["occupied_blocks"])
-    # 4096-granular bucket (pow2 buckets waste up to 2x in padded lanes);
-    # 1.8 headroom over the 10-frame-warmup occupancy: the orbit keeps
-    # allocating ~600 blocks/frame, so 1.5x saturated (clipped) the window
-    # during the last timed frames
-    bucket = max(-(-int(occ * 1.8) // 4096) * 4096, 4096)
+    # window sized to the max in-frustum occupancy seen over the revolution
+    bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
     cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
     step = pipeline.jit_integrate_rgbd(cfg_run)
-    state, stats = step(state, frame_cam(n_warmup), depths[0], rgb)
+    state, stats = step(state, frame_cam(n_warmup), depths[n_warmup % orbit],
+                        rgb)
     jax.block_until_ready(state)
-    print(f"# occupancy {occ}, bucket {bucket}", file=sys.stderr)
+    print(f"# occupancy {occ} (max in-frustum {occ_max}), bucket {bucket}",
+          file=sys.stderr)
 
     t0 = time.perf_counter()
-    for i in range(n_warmup, n_warmup + n_frames):
-        state, stats = step(state, frame_cam(i), depths[i % 4], rgb)
+    for i in range(n_warmup + 1, n_warmup + 1 + n_frames):
+        state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
     state = jax.block_until_ready(state)
     dt = (time.perf_counter() - t0) / n_frames
 
+    final_occ = int(stats["occupied_blocks"])
+    clipped = final_occ >= bucket
     fps = 1.0 / dt
     print(json.dumps({
         "metric": "tsdf_integration_fps_replica_like_1200x680",
@@ -113,9 +132,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
     }))
-    print(f"# per-frame: {dt * 1e3:.2f} ms, occupied blocks: "
-          f"{int(stats['occupied_blocks'])}, device: {jax.devices()[0]}",
-          file=sys.stderr)
+    print(f"# per-frame: {dt * 1e3:.2f} ms, occupied blocks: {final_occ}"
+          f"{' (CLIPPED — window saturated, rerun)' if clipped else ''}, "
+          f"device: {jax.devices()[0]}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -8,7 +8,11 @@ reference's heap_low sub-block ids, voxel_data_structures.cu:859-871).
 
 Voxel fields mirror struct Voxel (voxel_hash_utils.cuh:8-22): sdf f32,
 sum_squared f32, rgb u8x3, weight u8 — weight is carried as int32 with the
-255 cap applied at merge time (params.h:24).
+255 cap applied at merge time (params.h:24), and rgb is carried bit-packed
+as one int32 lane (r | g<<8 | b<<16): a u8[N,512,3] field's 3-wide minor
+dimension forces relayout copies on every TPU gather/scatter (measured:
+~24 ms of XLA glue around the fused kernel in round 2), while the packed
+lane rides the same row DMAs as sdf/weight for free.
 """
 from __future__ import annotations
 
@@ -37,7 +41,7 @@ class VoxelPool:
     sdf: jax.Array     # f32[N,512]
     sumsq: jax.Array   # f32[N,512]
     weight: jax.Array  # i32[N,512] (u8 semantics)
-    rgb: jax.Array     # u8[N,512,3]
+    rgbp: jax.Array    # i32[N,512] packed r | g<<8 | b<<16
 
     @property
     def num_voxels(self) -> int:
@@ -57,10 +61,10 @@ class VoxelPool:
         return self.weight.reshape(-1)
 
     @property
-    def flat_rgb(self):
-        return self.rgb.reshape(-1, 3)
+    def flat_rgbp(self):
+        return self.rgbp.reshape(-1)
 
-    def with_flat(self, sdf=None, sumsq=None, weight=None, rgb=None):
+    def with_flat(self, sdf=None, sumsq=None, weight=None, rgbp=None):
         """Replace fields from flat arrays (reshape back to rows)."""
         shape = self.sdf.shape
         kw = {}
@@ -70,9 +74,23 @@ class VoxelPool:
             kw["sumsq"] = sumsq.reshape(shape)
         if weight is not None:
             kw["weight"] = weight.reshape(shape)
-        if rgb is not None:
-            kw["rgb"] = rgb.reshape(shape + (3,))
+        if rgbp is not None:
+            kw["rgbp"] = rgbp.reshape(shape)
         return self.replace(**kw)
+
+
+def pack_rgb(rgb):
+    """u8/int [...,3] -> packed int32 lane."""
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+    return r | (g << 8) | (b << 16)
+
+
+def unpack_rgb(rgbp, dtype=jnp.uint8):
+    """packed int32 lane -> [...,3] channels."""
+    return jnp.stack([rgbp & 255, (rgbp >> 8) & 255, (rgbp >> 16) & 255],
+                     axis=-1).astype(dtype)
 
 
 def make_pool(num_blocks: int) -> VoxelPool:
@@ -81,7 +99,7 @@ def make_pool(num_blocks: int) -> VoxelPool:
         sdf=jnp.zeros((n, L), jnp.float32),
         sumsq=jnp.zeros((n, L), jnp.float32),
         weight=jnp.zeros((n, L), jnp.int32),
-        rgb=jnp.zeros((n, L, 3), jnp.uint8),
+        rgbp=jnp.zeros((n, L), jnp.int32),
     )
 
 
@@ -124,8 +142,10 @@ class MapConfig:
     dedup_scratch_factor: int = 16           # scratch cells per alloc slot
     alloc_rounds: int = 1                    # salted dedup+insert passes
     alloc_pixel_stride: int = 2              # stagger candidates over s^2 frames
+    alloc_tile: int = 0                      # >1: per-tile min/max band alloc
     dda_extra_steps: int = 3
     max_coarsen_per_frame: int = 1 << 12     # variance-merge queue
+    max_gc_free_per_frame: int = 1 << 12     # GC free+clear set per frame
     low_split_chunk: int = 1 << 10           # high blocks split per refill
     sample_patch: int = 16                   # per-block image patch side
     sample_fallback: int = 1 << 16           # out-of-patch lane budget

@@ -48,7 +48,7 @@ def collect_evicted(cfg: MapConfig, staging: int, table: H.HashTable, pool,
 
     Evicts at most `staging` blocks; the host loops until none remain.
     Returns (table', pool', pos[S,3], res[S], n, sdf[S,512], sumsq[S,512],
-    weight[S,512], rgb[S,512,3], n_remaining)."""
+    weight[S,512], rgbp[S,512] (packed r|g<<8|b<<16), n_remaining)."""
     vvs = cfg.virtual_voxel_size
     occupied = table.ptr != H.FREE
     pw = X.sdf_block_to_world_point(vvs, table.pos)
@@ -68,7 +68,7 @@ def collect_evicted(cfg: MapConfig, staging: int, table: H.HashTable, pool,
     out_sdf = pool.flat_sdf[vidx]
     out_ssq = pool.flat_sumsq[vidx]
     out_w = pool.flat_weight[vidx]
-    out_rgb = pool.flat_rgb[vidx]
+    out_rgb = pool.flat_rgbp[vidx]
 
     table, fptrs, fres, freed = H.free_slots(table, slot_buf, valid)
     from mrhash_tpu.ops.integrate import _clear_blocks
@@ -107,7 +107,7 @@ def insert_blocks(cfg: MapConfig, staging: int, table: H.HashTable, pool,
         sdf=pool.flat_sdf.at[vidx].set(sdf.reshape(-1), mode="drop"),
         sumsq=pool.flat_sumsq.at[vidx].set(ssq.reshape(-1), mode="drop"),
         weight=pool.flat_weight.at[vidx].set(w.reshape(-1), mode="drop"),
-        rgb=pool.flat_rgb.at[vidx].set(rgb.reshape(-1, 3), mode="drop"))
+        rgbp=pool.flat_rgbp.at[vidx].set(rgb.reshape(-1), mode="drop"))
     return table, pool, jnp.sum(new.astype(jnp.int32)), info["present"]
 
 

@@ -107,6 +107,7 @@ class GeoWrapper:
                            else "gather")
         self.cfg = MapConfig(
             sample_mode=sample_mode,
+            alloc_tile=4,
             pallas_interpret=bool(pallas_interpret),
             virtual_voxel_size=float(virtual_voxel_size),
             voxel_extents=(float(voxel_extents_scale),) * 3,

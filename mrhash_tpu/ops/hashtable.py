@@ -7,7 +7,7 @@ SoA table probed with a fixed, fully-vectorized probe sequence of
 NUM_PROBES slots (bucket slots + deterministic linear overflow).  Because
 lookups always scan the whole probe window (no early exit in SIMD), deletion
 needs no tombstones or linked-list surgery, and insertion is a deterministic
-batched algorithm (scatter-argmin conflict resolution over probe rounds +
+batched algorithm (bucket-rank free-slot claims + one conflict election,
 prefix-sum heap draws) instead of the reference's atomicExch retry loops
 (voxel_data_structures.cu:501-755, 901-921).
 
@@ -38,6 +38,7 @@ class HashTable:
     pos: jax.Array        # int32[C,3]
     ptr: jax.Array        # int32[C]
     res: jax.Array        # int32[C]
+    fp: jax.Array         # int32[C] key fingerprint, 0 = free slot
     heap_high: jax.Array  # int32[N]
     heap_low: jax.Array   # int32[8N]
     high_count: jax.Array  # int32[] number of free high blocks
@@ -61,6 +62,7 @@ def make_table(num_blocks: int, num_buckets: int | None = None) -> HashTable:
         pos=jnp.zeros((C, 3), jnp.int32),
         ptr=jnp.full((C,), FREE, jnp.int32),
         res=jnp.zeros((C,), jnp.int32),
+        fp=jnp.zeros((C,), jnp.int32),
         heap_high=jnp.arange(num_blocks - 1, -1, -1, dtype=jnp.int32),
         heap_low=jnp.full((n_low,), n_low, jnp.int32),
         high_count=jnp.int32(num_blocks),
@@ -68,6 +70,30 @@ def make_table(num_blocks: int, num_buckets: int | None = None) -> HashTable:
         num_buckets=int(num_buckets),
         num_blocks=int(num_blocks),
     )
+
+
+def _avalanche(h):
+    """murmur3 finalizer: full-avalanche uint32 mix (any affine salt would
+    preserve low-bit collision structure mod a power-of-two size)."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def fingerprint(block_pos):
+    """32-bit key fingerprint for probe filtering; 0 is reserved for free
+    slots.  Independent mixing chain from calculate_hash so a bucket
+    collision carries no fingerprint-collision correlation."""
+    x = block_pos[..., 0].astype(jnp.uint32)
+    y = block_pos[..., 1].astype(jnp.uint32)
+    z = block_pos[..., 2].astype(jnp.uint32)
+    h = _avalanche(x * jnp.uint32(0x9E3779B1))
+    h = _avalanche(h ^ (y * jnp.uint32(0x7FEB352D)))
+    h = _avalanche(h ^ (z * jnp.uint32(0x846CA68B)))
+    return jnp.where(h == 0, 1, h).astype(jnp.int32)
 
 
 def calculate_hash(block_pos, num_buckets):
@@ -90,25 +116,63 @@ def probe_slots(bucket, capacity):
     return (base[..., None] + offs) % capacity
 
 
-def lookup(table: HashTable, keys, valid=None):
+_FALLBACK_K = 64  # exact-compare budget for fingerprint-collision suspects
+
+
+def lookup(table: HashTable, keys, valid=None, with_uncertain=False):
     """Vectorized getHashEntry (voxel_data_structures.cu:79-127).
 
     keys: int32[M,3].  Returns (found[M] bool, slot[M], ptr[M], res[M]);
-    slot/ptr/res are meaningful only where found."""
+    slot/ptr/res are meaningful only where found.
+
+    Probe filtering runs on a 32-bit key FINGERPRINT (one element gather per
+    probe slot instead of four: pos x/y/z + ptr — element gathers are the
+    cost of lookup on TPU, ~115M/s on v5e), then the selected slot is
+    verified exactly.  A fingerprint collision ahead of the true slot in the
+    probe window makes the verify fail; those suspects (expected ~1e-5 per
+    8k-key batch) are re-resolved with the full-window exact compare, capped
+    at _FALLBACK_K per call.  With with_uncertain=True also returns a mask
+    of suspects beyond that cap (resolution unknown — callers that insert
+    must treat them as present to preserve the no-duplicate-keys invariant).
+    """
     C = table.capacity
+    M = keys.shape[0]
     bucket = calculate_hash(keys, table.num_buckets)
     slots = probe_slots(bucket, C)                        # [M, NP]
-    cand_pos = table.pos[slots]                           # [M, NP, 3]
-    cand_ptr = table.ptr[slots]                           # [M, NP]
-    match = (cand_ptr != FREE) & jnp.all(cand_pos == keys[..., None, :], axis=-1)
+    fpk = fingerprint(keys)                               # [M]
+    match = table.fp[slots] == fpk[..., None]             # [M, NP]
     found = jnp.any(match, axis=-1)
-    first = jnp.argmax(match, axis=-1)
-    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
     if valid is not None:
         found = found & valid
-    ptr = jnp.where(found, table.ptr[slot], FREE)
-    res = jnp.where(found, table.res[slot], 0)
+    first = jnp.argmax(match, axis=-1)
+    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    sel_pos = table.pos[jnp.where(found, slot, 0)]        # [M, 3]
+    exact = found & jnp.all(sel_pos == keys, axis=-1)
+
+    # exact fallback for fingerprint-collision suspects
+    suspects = found & ~exact
+    sidx, svalid, total = compact_indices(suspects, _FALLBACK_K)
+    sidx_c = jnp.where(svalid, sidx, 0)
+    s_slots = slots[sidx_c]                               # [K, NP]
+    s_match = ((table.ptr[s_slots] != FREE)
+               & jnp.all(table.pos[s_slots] == keys[sidx_c][:, None, :],
+                         axis=-1))
+    s_found = jnp.any(s_match, axis=-1) & svalid
+    s_first = jnp.argmax(s_match, axis=-1)
+    s_slot = jnp.take_along_axis(s_slots, s_first[..., None], axis=-1)[..., 0]
+    dst = jnp.where(svalid, sidx, M)
+    exact = exact.at[dst].set(s_found, mode="drop")
+    slot = slot.at[dst].set(s_slot, mode="drop")
+
+    found = exact
+    ptr = jnp.where(found, table.ptr[jnp.where(found, slot, 0)], FREE)
+    res = jnp.where(found, table.res[jnp.where(found, slot, 0)], 0)
     slot = jnp.where(found, slot, -1)
+    if with_uncertain:
+        # suspects beyond the fallback cap stayed unresolved
+        rank = jnp.cumsum(suspects.astype(jnp.int32)) - 1
+        uncertain = suspects & (rank >= _FALLBACK_K)
+        return found, slot, ptr, res, uncertain
     return found, slot, ptr, res
 
 
@@ -138,7 +202,7 @@ def insert(table: HashTable, keys, valid, res):
     keys:[U,3] int32, valid:[U] bool, res:[U] int32 (0 or 1).  Keys must be
     deduplicated by the caller (see integrate.dedup_candidates).  For each
     valid key not already in the table: claim a free slot in its probe window
-    (conflicts between keys resolved by scatter-argmax over probe rounds) and
+    (same-bucket claims made disjoint by rank; overlap conflicts elected) and
     draw a block from the matching heap.  Keys whose probe window is full or
     whose heap is dry are dropped, exactly like the reference's staggered
     "fast version" allocator (voxel_data_structures.cu:876, 566-569).
@@ -148,34 +212,45 @@ def insert(table: HashTable, keys, valid, res):
     """
     U = keys.shape[0]
     C = table.capacity
-    found, slotF, ptrF, resF = lookup(table, keys, valid)
-    pending0 = valid & ~found
+    found, slotF, ptrF, resF, uncertain = lookup(table, keys, valid,
+                                                 with_uncertain=True)
+    # unresolved fingerprint suspects must not insert (possible duplicate);
+    # they drop to a later frame like any other staggered miss
+    pending0 = valid & ~found & ~uncertain
 
     def do_insert(table):
         bucket = calculate_hash(keys, table.num_buckets)
         slots_all = probe_slots(bucket, C)  # [U, NP]
         arange_u = jnp.arange(U, dtype=jnp.int32)
 
-        def round_body(j, carry):
-            occupied, assigned_slot, pending = carry
-            slot_j = slots_all[:, j]                              # [U]
-            free_j = ~occupied[slot_j]
-            want = pending & free_j
-            # conflict resolution: highest proposing key index wins
-            prop = jnp.full((C,), -1, jnp.int32).at[
-                jnp.where(want, slot_j, C)].max(arange_u, mode="drop")
-            winner = want & (prop[slot_j] == arange_u)
-            occupied = occupied.at[jnp.where(winner, slot_j, C)].set(
-                True, mode="drop")
-            assigned_slot = jnp.where(winner, slot_j, assigned_slot)
-            pending = pending & ~winner
-            return occupied, assigned_slot, pending
+        # single-pass claim (no sequential probe rounds): rank each pending
+        # key among its same-bucket peers (sort by bucket + segmented index),
+        # then claim the (rank+1)-th FREE slot of its probe window — distinct
+        # ranks make same-bucket claims disjoint by construction.  Windows of
+        # ADJACENT buckets overlap on the linear-overflow slots, so one
+        # scatter-argmax election drops cross-bucket losers (they stagger to
+        # the next frame, like the reference's bucket-lock misses,
+        # voxel_data_structures.cu:876).
+        bkey = jnp.where(pending0, bucket, C)
+        order = jnp.argsort(bkey)
+        sb = bkey[order]
+        newseg = jnp.concatenate([jnp.ones((1,), bool), sb[1:] != sb[:-1]])
+        idx = jnp.arange(U, dtype=jnp.int32)
+        seg_start = jax.lax.cummax(jnp.where(newseg, idx, 0))
+        rank = jnp.zeros((U,), jnp.int32).at[order].set(idx - seg_start)
 
-        occupied0 = table.ptr != FREE
-        assigned0 = jnp.full((U,), -1, jnp.int32)
-        occupied, assigned_slot, _ = jax.lax.fori_loop(
-            0, P.NUM_PROBES, round_body, (occupied0, assigned0, pending0))
-        got_slot = assigned_slot >= 0
+        free = table.fp[slots_all] == 0                        # [U, NP]
+        cumfree = jnp.cumsum(free.astype(jnp.int32), axis=-1)
+        want_pos = rank + 1
+        has = pending0 & (cumfree[:, -1] >= want_pos)
+        sel = jnp.argmax(cumfree == want_pos[:, None], axis=-1)
+        slot_p = jnp.take_along_axis(slots_all, sel[..., None],
+                                     axis=-1)[..., 0]          # [U]
+        prop = jnp.full((C,), -1, jnp.int32).at[
+            jnp.where(has, slot_p, C)].max(arange_u, mode="drop")
+        winner = has & (prop[slot_p] == arange_u)
+        assigned_slot = jnp.where(winner, slot_p, -1)
+        got_slot = winner
 
         # heap draws per resolution
         want_high = got_slot & (res == 0)
@@ -194,6 +269,7 @@ def insert(table: HashTable, keys, valid, res):
             pos=table.pos.at[dest].set(keys, mode="drop"),
             ptr=table.ptr.at[dest].set(new_ptr, mode="drop"),
             res=table.res.at[dest].set(res, mode="drop"),
+            fp=table.fp.at[dest].set(fingerprint(keys), mode="drop"),
             high_count=high_count, low_count=low_count)
         return table, assigned_slot, new_ptr, new
 
@@ -239,7 +315,8 @@ def free_slots(table: HashTable, slots, mask):
     ptr_arr = table.ptr.at[dest].set(FREE, mode="drop")
     pos_arr = table.pos.at[dest].set(0, mode="drop")
     res_arr = table.res.at[dest].set(0, mode="drop")
-    table = table.replace(pos=pos_arr, ptr=ptr_arr, res=res_arr,
+    fp_arr = table.fp.at[dest].set(0, mode="drop")
+    table = table.replace(pos=pos_arr, ptr=ptr_arr, res=res_arr, fp=fp_arr,
                           heap_high=hh, heap_low=hl,
                           high_count=hc, low_count=lc)
     return table, ptrs, res, mask

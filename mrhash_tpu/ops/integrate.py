@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from mrhash_tpu import params as P
-from mrhash_tpu.core.state import MapConfig, MapState, VoxelPool
+from mrhash_tpu.core.state import (MapConfig, MapState, VoxelPool, pack_rgb,
+                                   unpack_rgb)
 from mrhash_tpu.ops import camera as C
 from mrhash_tpu.ops import coords as X
 from mrhash_tpu.ops import hashtable as H
@@ -125,6 +126,69 @@ def _dda_visit(cfg: MapConfig, cam: C.Camera, pw_min, pw_max, ray_valid,
     return blocks, mask
 
 
+def _alloc_candidates_tiles(cfg: MapConfig, cam: C.Camera, pc_depth,
+                            num_steps: int, row0, frame):
+    """Tile-granular allocation: per s x s pixel tile, ONE representative ray
+    (phase-rotated over the tile's s^2 pixels each frame) walks two
+    truncation bands covering the tile's depth range — [dmin-t, dmin+t] and
+    [max(dmax-t, dmin+t), dmax+t].
+
+    Image-space dedup before hash-space dedup: adjacent pixels visit the
+    same blocks (a block at depth d spans ~fx*block/d >> s pixels), so the
+    per-pixel candidate volume of allocBlocksKernel
+    (voxel_data_structures.cu:757-857) is s^2/2-fold redundant.  Unlike
+    alloc_pixel_stride (which skips 1-1/s^2 of the bands entirely each
+    frame), the near band covers EVERY pixel's surface band: for continuous
+    surfaces the in-tile depth spread is tiny and the near band covers it;
+    at discontinuities the spread mid-range contains no surface and the two
+    bands bracket both sides.  The near band walks on even frames and the
+    far band on odd frames (halving per-frame candidate volume; the far
+    side of a silhouette staggers one frame).  Lateral error of the shared
+    ray is <= s px ~ s*d/fx m — well under a block — and the rotating phase
+    re-walks a different pixel's exact ray every 2*s^2 frames (same
+    staggered convergence semantics as the reference's lock-miss
+    retries)."""
+    H_, W_ = pc_depth.shape
+    s = int(cfg.alloc_tile)
+    Hp, Wp = -(-H_ // s) * s, -(-W_ // s) * s
+    d = pc_depth
+    if (Hp, Wp) != (H_, W_):
+        d = jnp.zeros((Hp, Wp), pc_depth.dtype).at[:H_, :W_].set(pc_depth)
+    tiles = d.reshape(Hp // s, s, Wp // s, s)
+    tvalid = tiles > 0.0
+    dmin = jnp.min(jnp.where(tvalid, tiles, INF), axis=(1, 3)).reshape(-1)
+    dmax = jnp.max(jnp.where(tvalid, tiles, -INF), axis=(1, 3)).reshape(-1)
+    any_valid = jnp.any(tvalid, axis=(1, 3)).reshape(-1)
+
+    Wt = Wp // s
+    n_tiles = (Hp // s) * Wt
+    fr = jnp.int32(0) if frame is None else frame.astype(jnp.int32)
+    use_far = (fr % 2) == 1
+    phase = (fr // 2) % (s * s)
+    py, px = phase // s, phase % s
+    ar = jnp.arange(n_tiles, dtype=jnp.int32)
+    rows = (py + s * (ar // Wt) + row0).astype(jnp.float32)
+    cols = (px + s * (ar % Wt)).astype(jnp.float32)
+
+    t_lo = X.get_truncation(dmin, cfg.sdf_truncation, cfg.sdf_truncation_scale)
+    t_hi = X.get_truncation(dmax, cfg.sdf_truncation, cfg.sdf_truncation_scale)
+    mdist = cfg.max_integration_distance
+    a_min = jnp.minimum(mdist, dmin - t_lo)
+    a_max = jnp.minimum(mdist, dmin + t_lo)
+    b_min = jnp.minimum(mdist, jnp.maximum(dmax - t_hi, a_max))
+    b_max = jnp.minimum(mdist, dmax + t_hi)
+    valid_a = any_valid & (a_min < a_max)
+    valid_b = any_valid & (b_min < b_max)
+
+    lo = jnp.where(use_far, b_min, a_min)
+    hi = jnp.where(use_far, b_max, a_max)
+    ok = jnp.where(use_far, valid_b, valid_a)
+    pw_min = C.cam_to_world(cam, C.inverse_projection(cam, rows, cols, lo))
+    pw_max = C.cam_to_world(cam, C.inverse_projection(cam, rows, cols, hi))
+    keys, mask = _dda_visit(cfg, cam, pw_min, pw_max, ok, num_steps)
+    return keys.reshape(-1, 3), mask.reshape(-1)
+
+
 def alloc_candidates_depth(cfg: MapConfig, cam: C.Camera, pc_depth,
                            num_steps: int, row0=0, frame=None):
     """allocBlocksKernel (voxel_data_structures.cu:757-857): per-pixel ray
@@ -133,13 +197,19 @@ def alloc_candidates_depth(cfg: MapConfig, cam: C.Camera, pc_depth,
     pc_depth: f32[H,W] per-pixel depth (z for pinhole, range for spherical);
     row0 offsets the row coordinates (for row-sharded SPMD shards).
 
-    With cfg.alloc_pixel_stride = s > 1 and a frame counter, only every s-th
+    With cfg.alloc_tile = s > 1 the per-pixel rays collapse to one
+    representative ray per s x s tile covering the tile's depth range (see
+    _alloc_candidates_tiles) — the production TPU path.  Otherwise, with
+    cfg.alloc_pixel_stride = s > 1 and a frame counter, only every s-th
     pixel in each dimension emits candidates, with the (s*s)-phase rotating
     per frame — full pixel coverage every s^2 frames.  This is the
     reference's staggered-allocation semantics ("fast version ... staggers
     alloc to the next frame", voxel_data_structures.cu:876) applied at the
     source, cutting candidate volume s^2-fold.
     Returns flat candidate keys + valid mask."""
+    if int(cfg.alloc_tile) > 1:
+        return _alloc_candidates_tiles(cfg, cam, pc_depth, num_steps, row0,
+                                       frame)
     H_, W_ = pc_depth.shape
     s = int(cfg.alloc_pixel_stride)
     if s > 1 and frame is not None:
@@ -208,17 +278,10 @@ def alloc_candidates_points(cfg: MapConfig, cam: C.Camera, points, normals,
 
 _SALT0 = jnp.uint32(2654435761)  # Knuth multiplicative constant
 
-
-def _avalanche(h):
-    """murmur3 finalizer: full-avalanche uint32 mix.  Required because any
-    affine salt (xor/add/mul by odd) preserves low-bit collision structure
-    mod a power-of-two scratch size — the salt would never rotate losers."""
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    return h
+# full-avalanche uint32 mix (murmur3 finalizer) — required because any
+# affine salt (xor/add/mul by odd) preserves low-bit collision structure
+# mod a power-of-two scratch size: the salt would never rotate losers
+_avalanche = H._avalanche
 
 
 def dedup_candidates(keys, valid, frame_salt, scratch_size: int, u_max: int):
@@ -368,7 +431,7 @@ def _gather_block_rows(pool: VoxelPool, row):
     """Row gathers of all voxel fields for the given blocks (near-bandwidth
     on TPU vs ~40M elem/s for element-wise gathers)."""
     return dict(sdf=pool.sdf[row], sumsq=pool.sumsq[row],
-                weight=pool.weight[row], rgb=pool.rgb[row])
+                weight=pool.weight[row], rgbp=pool.rgbp[row])
 
 
 def _sample_image(img_flat, rows, cols, W, ok):
@@ -543,7 +606,8 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
         update = update & lane_mask
 
     old = _gather_block_rows(pool, prow)
-    sdf0, w0, ssq0, rgb0 = old["sdf"], old["weight"], old["sumsq"], old["rgb"]
+    sdf0, w0, ssq0 = old["sdf"], old["weight"], old["sumsq"]
+    rgb0 = unpack_rgb(old["rgbp"])
 
     # Welford accumulation (voxel_data_structures.cu:1162-1180); deltas are
     # normalized by half a voxel.
@@ -560,7 +624,7 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
 
     return _scatter_block_rows(
         pool, prow, bres, bvalid, update,
-        dict(sdf=m_sdf, weight=m_w, sumsq=m_ssq, rgb=m_rgb), old,
+        dict(sdf=m_sdf, weight=m_w, sumsq=m_ssq, rgbp=pack_rgb(m_rgb)), old,
         multires=cfg.sdf_var_threshold > 0.0)
 
 
@@ -617,37 +681,26 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     meta = meta.at[:, 3].set(bvalid.astype(jnp.int32))
 
     prow, _ = _block_rows(bptr, bvalid)
-    sdf_r = pool.sdf[prow]
-    ssq_r = pool.sumsq[prow]
-    w_r = pool.weight[prow]
-    rgb_r = pool.rgb[prow]
-    rgbp = (rgb_r[..., 0].astype(jnp.int32)
-            | (rgb_r[..., 1].astype(jnp.int32) << 8)
-            | (rgb_r[..., 2].astype(jnp.int32) << 16))
     cast = jax.lax.bitcast_convert_type
     pool_rows = jnp.concatenate(
-        [cast(sdf_r, jnp.int32), cast(ssq_r, jnp.int32), w_r, rgbp], axis=1)
+        [cast(pool.sdf[prow], jnp.int32), cast(pool.sumsq[prow], jnp.int32),
+         pool.weight[prow], pool.rgbp[prow]], axis=1)
 
     out = FI.fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows,
                                     interpret=cfg.pallas_interpret)
 
     L = LANES
-    new_sdf = cast(out[:, 0:L], jnp.float32)
-    new_ssq = cast(out[:, L:2 * L], jnp.float32)
-    new_w = out[:, 2 * L:3 * L]
-    new_rgbp = out[:, 3 * L:4 * L]
-    new_rgb = jnp.stack([new_rgbp & 255, (new_rgbp >> 8) & 255,
-                         (new_rgbp >> 16) & 255], axis=-1).astype(jnp.uint8)
-
     n_rows = pool.sdf.shape[0]
     row0 = jnp.where(bvalid, prow, n_rows)
     pool = pool.replace(
-        sdf=pool.sdf.at[row0].set(new_sdf, mode="drop", unique_indices=True),
-        sumsq=pool.sumsq.at[row0].set(new_ssq, mode="drop",
-                                      unique_indices=True),
-        weight=pool.weight.at[row0].set(new_w, mode="drop",
-                                        unique_indices=True),
-        rgb=pool.rgb.at[row0].set(new_rgb, mode="drop", unique_indices=True))
+        sdf=pool.sdf.at[row0].set(cast(out[:, 0:L], jnp.float32),
+                                  mode="drop", unique_indices=True),
+        sumsq=pool.sumsq.at[row0].set(cast(out[:, L:2 * L], jnp.float32),
+                                      mode="drop", unique_indices=True),
+        weight=pool.weight.at[row0].set(out[:, 2 * L:3 * L],
+                                        mode="drop", unique_indices=True),
+        rgbp=pool.rgbp.at[row0].set(out[:, 3 * L:4 * L],
+                                    mode="drop", unique_indices=True))
 
     aux = dict(gc_min_s=cast(out[:, 4 * L + 1], jnp.float32),
                gc_max_w=out[:, 4 * L + 2])
@@ -857,7 +910,7 @@ def _clear_blocks(pool: VoxelPool, bptr, bres, mask, multires=True):
     zero = dict(sdf=jnp.zeros((A, LANES), jnp.float32),
                 sumsq=jnp.zeros((A, LANES), jnp.float32),
                 weight=jnp.zeros((A, LANES), jnp.int32),
-                rgb=jnp.zeros((A, LANES, 3), jnp.uint8))
+                rgbp=jnp.zeros((A, LANES), jnp.int32))
     old = _gather_block_rows(pool, prow)
     return _scatter_block_rows(pool, prow, bres, mask,
                                in_window & mask[:, None], zero, old,
@@ -894,7 +947,14 @@ def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
         s = jnp.where((w > 0) & lane_valid, jnp.abs(s_rows), INF)
         decision = bvalid & ((jnp.min(s, axis=1) >= trunc_max)
                              | (jnp.max(w, axis=1) == 0))
-    table, ptrs, fres, freed = H.free_slots(table, slots, decision)
+    # bound the per-frame free+clear set: the clear's row scatters cost
+    # scales with its SOURCE length (the whole compacted window before),
+    # and steady-state frames free only a handful of blocks.  Overflow
+    # staggers to the next frame like every other capacity cap.
+    K = int(cfg.max_gc_free_per_frame)
+    didx, dvalid, _ = H.compact_indices(decision, K)
+    didx_c = jnp.where(dvalid, didx, 0)
+    table, ptrs, fres, freed = H.free_slots(table, slots[didx_c], dvalid)
     pool = _clear_blocks(pool, ptrs, fres, freed,
                          multires=cfg.sdf_var_threshold > 0.0)
     return table, pool

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from mrhash_tpu import params as P
-from mrhash_tpu.core.state import MapConfig, VoxelPool
+from mrhash_tpu.core.state import MapConfig, VoxelPool, unpack_rgb
 from mrhash_tpu.ops import coords as X
 from mrhash_tpu.ops import hashtable as H
 from mrhash_tpu.ops import transvoxel as TV
@@ -59,7 +59,7 @@ def get_voxel(cfg: MapConfig, table: H.HashTable, pool: VoxelPool, pos):
     sdf = jnp.where(found, pool.flat_sdf[vidx], 0.0)
     w = jnp.where(found, pool.flat_weight[vidx], 0)
     rgb = jnp.where(found[..., None],
-                    pool.flat_rgb[vidx].astype(jnp.float32), 0.0)
+                    unpack_rgb(pool.flat_rgbp[vidx], jnp.float32), 0.0)
     return sdf, w, rgb, jnp.where(found, res, 0), found
 
 

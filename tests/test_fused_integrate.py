@@ -73,7 +73,7 @@ def test_kernel_matches_gather(mode):
                                atol=2e-5, rtol=0)
     np.testing.assert_allclose(got.pool.sumsq[upd], ref.pool.sumsq[upd],
                                atol=5e-4, rtol=0)
-    np.testing.assert_array_equal(got.pool.rgb[upd], ref.pool.rgb[upd])
+    np.testing.assert_array_equal(got.pool.rgbp[upd], ref.pool.rgbp[upd])
 
 
 def test_fused_serves_near_blocks_via_fallback():

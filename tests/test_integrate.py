@@ -184,3 +184,69 @@ def test_variance_coarsening_multires():
     n_occ_high = int((res_after1 == 0).sum())
     n_split = (cfg.num_blocks - hc) - n_occ_high
     assert n_split >= 0
+
+
+def _allocated_block_set(cfg, cam, depth, frames=(0,)):
+    state = make_state(cfg.num_blocks)
+    table = state.table
+    for f in frames:
+        keys, valid = I.alloc_candidates_depth(
+            cfg, cam, depth,
+            cfg.dda_steps(float(cfg.max_integration_distance)),
+            frame=jnp.int32(f))
+        table = I.alloc_blocks(cfg, table, keys, valid, jnp.int32(f))
+    occ = np.asarray(table.ptr) != P.FREE_ENTRY
+    return set(map(tuple, np.asarray(table.pos)[occ]))
+
+
+def test_tile_alloc_covers_per_pixel_alloc():
+    """Tile-granular allocation (alloc_tile=4): the rotating representative
+    ray covers every pixel's band within s^2 frames (staggered-allocation
+    semantics, voxel_data_structures.cu:876), and a single frame already
+    covers the bulk of the per-pixel block set."""
+    cam = small_cam()
+    r = jnp.arange(ROWS, dtype=jnp.float32)[:, None]
+    c = jnp.arange(COLS, dtype=jnp.float32)[None, :]
+    depth = 1.5 + 0.01 * c + 0.02 * r  # sloped wall, depth 1.5..2.1 m
+
+    base = small_cfg(alloc_pixel_stride=1, alloc_tile=0)
+    tile = small_cfg(alloc_pixel_stride=1, alloc_tile=4)
+    full_set = _allocated_block_set(base, cam, depth)
+    tile_one = _allocated_block_set(tile, cam, depth)
+    tile_all = _allocated_block_set(tile, cam, depth, frames=range(32))
+
+    # single frame: bulk coverage even for this adversarially wide FOV
+    # (fx=40: rays within one tile diverge by half a block at 2 m; at
+    # bench/Replica fx=600 the same geometry gives ~2 cm, under a voxel)
+    missing_one = full_set - tile_one
+    assert len(missing_one) <= 0.2 * len(full_set), (len(missing_one),
+                                                     len(full_set))
+    # the 16-phase union covers every per-pixel block
+    missing = full_set - tile_all
+    assert len(missing) <= 0.01 * len(full_set), (len(missing), len(full_set))
+    extra = tile_all - full_set
+    # conservative extras from the widened per-tile band are bounded
+    assert len(extra) <= 0.3 * len(full_set), (len(extra), len(full_set))
+
+
+def test_tile_alloc_discontinuity_covers_both_sides():
+    """At a depth discontinuity the two per-tile bands must allocate both the
+    near and the far surface, not the empty mid-range."""
+    cam = small_cam()
+    c = jnp.arange(COLS, dtype=jnp.float32)[None, :]
+    depth = jnp.where(c < COLS // 2, 1.0, 3.0)
+    depth = jnp.broadcast_to(depth, (ROWS, COLS)).astype(jnp.float32)
+
+    base = small_cfg(alloc_pixel_stride=1, alloc_tile=0)
+    tile = small_cfg(alloc_pixel_stride=1, alloc_tile=4)
+    full_set = _allocated_block_set(base, cam, depth)
+    # frames 0 (near band) + 1 (far band): both surfaces present (the
+    # mid-range is skipped), with only the silhouette-adjacent sliver
+    # staggered to later phases
+    tile_two = _allocated_block_set(tile, cam, depth, frames=(0, 1))
+    tile_all = _allocated_block_set(tile, cam, depth, frames=range(32))
+    missing_two = full_set - tile_two
+    assert len(missing_two) <= 0.3 * len(full_set), (len(missing_two),
+                                                     len(full_set))
+    missing = full_set - tile_all
+    assert len(missing) <= 0.02 * len(full_set), (len(missing), len(full_set))

@@ -38,7 +38,7 @@ def _content(state):
     lanes = np.arange(P.TOTAL_SDF_BLOCK_SIZE)
     sdf = np.asarray(state.pool.sdf).reshape(-1)[ptr[:, None] + lanes]
     w = np.asarray(state.pool.weight).reshape(-1)[ptr[:, None] + lanes]
-    rgb = np.asarray(state.pool.rgb).reshape(-1, 3)[ptr[:, None] + lanes]
+    rgb = np.asarray(state.pool.rgbp).reshape(-1)[ptr[:, None] + lanes]
     return pos[order], sdf[order], w[order], rgb[order]
 
 

@@ -33,17 +33,19 @@ def main():
     from mrhash_tpu.ops import integrate as I
     from mrhash_tpu.ops import hashtable as H
 
-    which = set(sys.argv[1:]) or {"full", "alloc", "dedup", "insert",
-                                  "compact", "integrate", "gc", "starve"}
+    which = set(sys.argv[1:]) or {"full", "dispatch", "alloc", "dedup",
+                                  "lookup", "insert", "compact", "fusedk",
+                                  "fused", "gc", "starve"}
 
     rows, cols = 680, 1200
-    sample_mode = "pallas" if jax.default_backend() != "cpu" else "gather"
+    sample_mode = "fused" if jax.default_backend() != "cpu" else "gather"
     cfg = MapConfig(
         virtual_voxel_size=0.01, sdf_truncation=0.07,
         sdf_truncation_scale=0.0, integration_weight_sample=1,
         max_integration_distance=30.0, n_frames_invalidate_voxels=100,
         num_blocks=1 << 19, max_active_blocks=1 << 17,
-        max_alloc_per_frame=1 << 13, sample_mode=sample_mode)
+        max_alloc_per_frame=1 << 13, sample_mode=sample_mode,
+        alloc_tile=4)
     cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
                          rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
     rng = np.random.default_rng(0)
@@ -103,6 +105,13 @@ def main():
         float(st["occupied_blocks"].block_until_ready())
         print(f"{'full_frame':24s} {(time.perf_counter()-t0)/K*1e3:8.2f} ms")
 
+    # --- bare dispatch overhead (trivial chained program) -------------------
+    if "dispatch" in which:
+        @jax.jit
+        def f_nop(x):
+            return x + 1.0
+        clock("dispatch(nop)", f_nop, jnp.float32(0.0), n=50)
+
     # --- alloc candidates (DDA scan) ---------------------------------------
     if "alloc" in which:
         @jax.jit
@@ -125,6 +134,19 @@ def main():
                 cfg.dedup_scratch_factor, cfg.max_alloc_per_frame)
             return jnp.sum(jnp.where(uvalid, ukeys[:, 0], 0))
         clock("dedup_candidates", f_dedup, keys, valid, frame)
+
+    # --- lookup only ---------------------------------------------------------
+    if "lookup" in which:
+        uk, uv = jax.jit(functools.partial(
+            I.dedup_candidates, scratch_size=cfg.max_alloc_per_frame *
+            cfg.dedup_scratch_factor,
+            u_max=cfg.max_alloc_per_frame))(keys, valid, frame)
+
+        @jax.jit
+        def f_lookup(table, uk, uv):
+            found, slot, ptr, res = H.lookup(table, uk, uv)
+            return jnp.sum(jnp.where(found, ptr, 0))
+        clock("lookup(8k keys)", f_lookup, table, uk, uv)
 
     # --- insert -------------------------------------------------------------
     if "insert" in which:
@@ -153,13 +175,140 @@ def main():
     slots, count, bpos, bptr, bres, bvalid = cpct(table, cam)
 
     # --- integrate -----------------------------------------------------------
+    if "fusedk" in which:
+        # kernel only, prebuilt inputs: isolates the XLA glue cost around it
+        from mrhash_tpu.ops import fused_integrate as FI
+        H_, W_ = pc_depth.shape
+        hpad = max(((H_ + 7) // 8) * 8, FI.PATCH_H)
+        wpad = max(((W_ + 127) // 128) * 128, FI.PATCH_W)
+        packed = (rgb[..., 0].astype(jnp.float32)
+                  + rgb[..., 1].astype(jnp.float32) * 256.0
+                  + rgb[..., 2].astype(jnp.float32) * 65536.0)
+        img_cf = jnp.zeros((2, hpad, wpad), jnp.float32)
+        img_cf = img_cf.at[:, :H_, :W_].set(jnp.stack([pc_depth, packed]))
+        cam_vec = FI.make_cam_vec(
+            cam, cfg.virtual_voxel_size, cfg.sdf_truncation,
+            cfg.sdf_truncation_scale, cfg.max_integration_distance,
+            cfg.integration_weight_sample, cfg.integration_weight_max,
+            hpad, wpad)
+        A = bpos.shape[0]
+        meta = jnp.zeros((A, 128), jnp.int32)
+        meta = meta.at[:, :3].set(jnp.where(bvalid[:, None], bpos, 0))
+        meta = meta.at[:, 3].set(bvalid.astype(jnp.int32))
+        prow, _ = I._block_rows(bptr, bvalid)
+        cast = jax.lax.bitcast_convert_type
+        pool_rows = jnp.concatenate(
+            [cast(pool.sdf[prow], jnp.int32), cast(pool.sumsq[prow],
+                                                   jnp.int32),
+             pool.weight[prow], pool.rgbp[prow]], axis=1)
+        pool_rows = jax.block_until_ready(pool_rows)
+        img_cf = jax.block_until_ready(img_cf)
+
+        @jax.jit
+        def f_kernel(img_cf, cam_vec, meta, pool_rows):
+            out = FI.fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows)
+            return jnp.sum(out[:1, :8])
+        clock("fused_kernel_only", f_kernel, img_cf, cam_vec, meta, pool_rows)
+
+    if "fused" in which:
+        @jax.jit
+        def f_fused(pool, pc_depth, rgb, frame):
+            p2, aux = I.fused_integrate_depth(cfg, pool, cam, pc_depth, rgb,
+                                              bpos, bptr, bres, bvalid,
+                                              frame=frame)
+            return jnp.sum(p2.sdf[:1, :8])
+        clock("integrate[fused]", f_fused, pool, pc_depth, rgb, frame)
+
+    if "fusedglue" in which:
+        from mrhash_tpu.ops import fused_integrate as FI2
+        cast = jax.lax.bitcast_convert_type
+        H_, W_ = pc_depth.shape
+        hpad = max(((H_ + 7) // 8) * 8, FI2.PATCH_H)
+        wpad = max(((W_ + 127) // 128) * 128, FI2.PATCH_W)
+        A = bpos.shape[0]
+
+        @jax.jit
+        def f_pack(pool, pc_depth, rgb):
+            packed = (rgb[..., 0].astype(jnp.float32)
+                      + rgb[..., 1].astype(jnp.float32) * 256.0
+                      + rgb[..., 2].astype(jnp.float32) * 65536.0)
+            img_cf = jnp.zeros((2, hpad, wpad), jnp.float32)
+            img_cf = img_cf.at[:, :H_, :W_].set(
+                jnp.stack([pc_depth, packed]))
+            meta = jnp.zeros((A, 128), jnp.int32)
+            meta = meta.at[:, :3].set(jnp.where(bvalid[:, None], bpos, 0))
+            meta = meta.at[:, 3].set(bvalid.astype(jnp.int32))
+            prow, _ = I._block_rows(bptr, bvalid)
+            pool_rows = jnp.concatenate(
+                [cast(pool.sdf[prow], jnp.int32),
+                 cast(pool.sumsq[prow], jnp.int32),
+                 pool.weight[prow], pool.rgbp[prow]], axis=1)
+            return (jnp.sum(img_cf[:1, :1, :8]) + jnp.sum(meta[:1, :8])
+                    + jnp.sum(pool_rows[:1, :8]))
+        clock("fused_glue[pack]", f_pack, pool, pc_depth, rgb)
+
+        out_pre = jnp.zeros((A, FI2.OUT_LANES), jnp.int32)
+
+        @jax.jit
+        def f_scat(pool, out):
+            L = 512
+            prow, _ = I._block_rows(bptr, bvalid)
+            n_rows = pool.sdf.shape[0]
+            row0 = jnp.where(bvalid, prow, n_rows)
+            pool = pool.replace(
+                sdf=pool.sdf.at[row0].set(cast(out[:, 0:L], jnp.float32),
+                                          mode="drop", unique_indices=True),
+                sumsq=pool.sumsq.at[row0].set(
+                    cast(out[:, L:2 * L], jnp.float32), mode="drop",
+                    unique_indices=True),
+                weight=pool.weight.at[row0].set(out[:, 2 * L:3 * L],
+                                                mode="drop",
+                                                unique_indices=True),
+                rgbp=pool.rgbp.at[row0].set(out[:, 3 * L:4 * L], mode="drop",
+                                            unique_indices=True))
+            return jnp.sum(pool.sdf[:1, :8])
+        clock("fused_glue[scatter]", f_scat, pool, out_pre)
+
+        @jax.jit
+        def f_fallback(pool, pc_depth, rgb, frame, out):
+            import dataclasses as dc
+            L = 512
+            BB = int(cfg.sample_fallback) // L
+            bneed = bvalid & (out[:, 4 * L] > 0)
+            shift = (frame.astype(jnp.int32) * 4097) % A
+            rolled = jnp.roll(bneed, -shift)
+            sel_r, ok_r, total_need = H.compact_indices(rolled, BB)
+            bsel = (jnp.where(ok_r, sel_r, 0) + shift) % A
+            bok = ok_r
+            fb_pos = bpos[bsel]
+            r0, c0 = I._patch_origins(cam, fb_pos, cfg.virtual_voxel_size,
+                                      hpad, wpad, FI2.PATCH_H, FI2.PATCH_W)
+            pif, _ = I._block_voxel_grid(fb_pos, jnp.zeros((BB,), jnp.int32))
+            pf = pif.astype(jnp.float32) * cfg.virtual_voxel_size
+            from mrhash_tpu.ops import camera as C2
+            row, col, okp = C2.project_point(cam, C2.world_to_cam(cam, pf))
+            lr = row - r0[:, None]
+            lc = col - c0[:, None]
+            oop = ~((lr >= 0) & (lr < FI2.PATCH_H)
+                    & (lc >= 0) & (lc < FI2.PATCH_W))
+            fcfg = dc.replace(cfg, sample_mode="gather")
+            pool = I.integrate_depth(fcfg, pool, cam, pc_depth, rgb,
+                                     fb_pos, bptr[bsel], bres[bsel], bok,
+                                     lane_mask=oop)
+            return jnp.sum(pool.sdf[:1, :8])
+        clock("fused_glue[fallback]", f_fallback, pool, pc_depth, rgb,
+              frame, out_pre)
+
     if "integrate" in which:
+        icfg = (dataclasses.replace(cfg, sample_mode="pallas")
+                if cfg.sample_mode == "fused" else cfg)
+
         @jax.jit
         def f_integ(pool, pc_depth, rgb):
-            p2 = I.integrate_depth(cfg, pool, cam, pc_depth, rgb,
+            p2 = I.integrate_depth(icfg, pool, cam, pc_depth, rgb,
                                    bpos, bptr, bres, bvalid)
             return jnp.sum(p2.sdf[:1, :8])
-        clock(f"integrate[{cfg.sample_mode}]", f_integ, pool, pc_depth, rgb)
+        clock(f"integrate[{icfg.sample_mode}]", f_integ, pool, pc_depth, rgb)
 
     if "integrate_nosample" in which:
         cfgz = dataclasses.replace(cfg, sample_mode="gather")
