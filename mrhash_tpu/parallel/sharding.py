@@ -55,6 +55,9 @@ def local_config(cfg: MapConfig, n_dev: int) -> MapConfig:
         num_blocks=max(cfg.num_blocks // n_dev, 64),
         max_active_blocks=max(cfg.max_active_blocks // n_dev, 64),
         max_alloc_per_frame=max(cfg.max_alloc_per_frame // n_dev, 64),
+        max_coarsen_per_frame=max(cfg.max_coarsen_per_frame // n_dev, 64),
+        max_gc_free_per_frame=max(cfg.max_gc_free_per_frame // n_dev, 64),
+        low_split_chunk=max(cfg.low_split_chunk // n_dev, 8),
     )
 
 
@@ -152,6 +155,23 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
         pool = I.integrate_depth(lcfg, pool, cam, pc_depth, rgb,
                                  bpos, bptr, bres, bvalid)
 
+        # --- variance-adaptive coarsening (fully shard-local: a coarsened
+        # block keeps its key, so owner routing is unchanged and the
+        # res-1 re-insert lands on the same shard; matches the single-chip
+        # pipeline, core/pipeline.py:68-82) --------------------------------
+        if cfg.sdf_var_threshold > 0.0:
+            def do_coarsen(table, pool):
+                t, p, new_slots, new_mask = I.coarsen_by_variance(
+                    lcfg, table, pool, slots, bpos, bptr, bres, bvalid)
+                p = I.reintegrate_blocks(lcfg, t, p, cam, pc_depth, rgb,
+                                         new_slots, new_mask)
+                return t, p
+
+            table, pool = jax.lax.cond(frame > 0, do_coarsen,
+                                       lambda t, p: (t, p), table, pool)
+            slots, count, bpos, bptr, bres, bvalid = I.compact_active(
+                lcfg, table, cam)
+
         # --- garbage collection with a global z-buffer -------------------
         if cfg.n_frames_invalidate_voxels > 0:
             nf = cfg.n_frames_invalidate_voxels
@@ -238,6 +258,157 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
     def step(state: MapState, cam: C.Camera, depth, rgb):
         table, pool, stats = get_sharded(cam)(
             state.table, state.pool, state.frame, cam, depth, rgb)
+        new_state = MapState(table=table, pool=pool, frame=state.frame + 1)
+        return new_state, stats
+
+    return step
+
+
+def sharded_integrate_points(cfg: MapConfig, mesh: Mesh):
+    """Sharded LiDAR frame step (mirrors pipeline.integrate_points).
+
+    Allocation is point-data-parallel (each device DDA-walks its N/n point
+    slice, candidate keys route to their owner over one all_gather);
+    integration is map-parallel: every device runs the per-point voxel walk
+    over the full replicated cloud, but its local hash lookup only resolves
+    blocks it owns, so the segment-sum writes stay shard-local and
+    conflict-free across chips.  Coarsening (sdf_var_threshold > 0) is
+    shard-local like the RGB-D path; the 3D reintegrate quirk (D8) is
+    preserved — no reintegration after coarsening."""
+    n = mesh.shape[AXIS]
+    lcfg = local_config(cfg, n)
+    num_steps = cfg.dda_steps(float(cfg.max_integration_distance))
+    num_voxel_steps = cfg.dda_voxel_steps(float(cfg.max_integration_distance))
+
+    def local_step(table_t, pool_t, frame, cam_t, points, normals, weights,
+                   point_valid):
+        table = _local_table(lcfg, table_t)
+        pool = pool_t
+        cam = cam_t
+        me = jax.lax.axis_index(AXIS)
+
+        n_local = points.shape[0] // n
+        sl = me * n_local
+        my_pts = jax.lax.dynamic_slice_in_dim(points, sl, n_local)
+        my_nrm = jax.lax.dynamic_slice_in_dim(normals, sl, n_local)
+        my_ok = jax.lax.dynamic_slice_in_dim(point_valid, sl, n_local)
+
+        keys, valid = I.alloc_candidates_points(lcfg, cam, my_pts, my_nrm,
+                                                my_ok, num_steps)
+        for rnd in range(lcfg.alloc_rounds):
+            ukeys, uvalid = I.dedup_candidates(
+                keys, valid, frame * lcfg.alloc_rounds + rnd,
+                lcfg.max_alloc_per_frame * lcfg.dedup_scratch_factor,
+                lcfg.max_alloc_per_frame)
+            gk = jax.lax.all_gather(ukeys, AXIS).reshape(-1, 3)
+            gv = jax.lax.all_gather(uvalid, AXIS).reshape(-1)
+            mine = gv & (owner_of(gk, n) == me)
+            u = lcfg.max_alloc_per_frame
+            okeys, ovalid = I.dedup_candidates(
+                gk, mine, frame * lcfg.alloc_rounds + rnd,
+                u * lcfg.dedup_scratch_factor, u)
+            table, _ = H.insert(table, okeys, ovalid,
+                                jnp.zeros((u,), jnp.int32))
+
+        slots, count, bpos, bptr, bres, bvalid = I.compact_active(lcfg, table)
+        pool = I.integrate_points_sdf(lcfg, table, pool, cam, points,
+                                      normals, weights, point_valid,
+                                      num_voxel_steps)
+
+        if cfg.sdf_var_threshold > 0.0:
+            def do_coarsen(table, pool):
+                t, p, _, _ = I.coarsen_by_variance(
+                    lcfg, table, pool, slots, bpos, bptr, bres, bvalid)
+                return t, p
+
+            table, pool = jax.lax.cond(frame > 0, do_coarsen,
+                                       lambda t, p: (t, p), table, pool)
+            slots, count, bpos, bptr, bres, bvalid = I.compact_active(
+                lcfg, table)
+
+        if cfg.n_frames_invalidate_voxels > 0:
+            nf = cfg.n_frames_invalidate_voxels
+            pool = jax.lax.cond(
+                (frame > 0) & (frame % nf == 0),
+                lambda p: _sharded_starve_points(lcfg, p, cam, bpos, bptr,
+                                                 bres, bvalid),
+                lambda p: p, pool)
+            table, pool = I.garbage_collect_sweep(lcfg, table, pool, cam,
+                                                  slots, bpos, bptr, bres,
+                                                  bvalid)
+
+        count = jax.lax.psum(count, AXIS)
+        gn2 = lcfg.num_blocks * n
+        table_out = table.replace(high_count=table.high_count.reshape(1),
+                                  low_count=table.low_count.reshape(1),
+                                  num_buckets=gn2, num_blocks=gn2)
+        stats = dict(occupied_blocks=count,
+                     high_free=jax.lax.psum(table.high_count, AXIS),
+                     low_free=jax.lax.psum(table.low_count, AXIS),
+                     frame=frame)
+        return table_out, pool, stats
+
+    def _sharded_starve_points(lcfg, pool, cam, bpos, bptr, bres, bvalid):
+        """Same global-pmin z-buffer as the RGB-D starve."""
+        vvs = lcfg.virtual_voxel_size
+        prow, lane0 = I._block_rows(bptr, bvalid)
+        pi, lane_valid = I._block_voxel_grid(bpos, bres, lane0)
+        pf = pi.astype(jnp.float32) * vvs
+        pcam = C.world_to_cam(cam, pf)
+        row, col, ok = C.project_point(cam, pcam)
+        depth = C.get_depth(cam, pcam)
+        ok = ok & (depth >= cam.min_depth) & bvalid[:, None] & lane_valid
+        HW = cam.rows * cam.cols
+        pix = jnp.where(ok, row * cam.cols + col, HW).reshape(-1)
+        d = jnp.where(ok, depth, jnp.inf).reshape(-1)
+        zbuf = jnp.full((HW,), jnp.inf, jnp.float32).at[pix].min(
+            d, mode="drop")
+        zbuf = jax.lax.pmin(zbuf, AXIS)
+        me = jax.lax.axis_index(AXIS)
+        is_front = ok.reshape(-1) & (d == zbuf[jnp.where(pix < HW, pix, 0)])
+        tid = jnp.arange(d.shape[0], dtype=jnp.int32) + me * d.shape[0]
+        tbuf = jnp.full((HW,), jnp.iinfo(jnp.int32).max, jnp.int32).at[
+            jnp.where(is_front, pix, HW)].min(tid, mode="drop")
+        tbuf = jax.lax.pmin(tbuf, AXIS)
+        starved = (is_front
+                   & (tbuf[jnp.where(pix < HW, pix, 0)] == tid)).reshape(
+            (-1, P.TOTAL_SDF_BLOCK_SIZE))
+        w0 = pool.weight[prow]
+        return I._scatter_block_rows(
+            pool, prow, bres, bvalid, starved,
+            dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0),
+            multires=lcfg.sdf_var_threshold > 0.0)
+
+    gn = lcfg.num_blocks * n
+    s = PSpec(AXIS)
+    specs = MapState(
+        table=H.HashTable(pos=s, ptr=s, res=s, fp=s, heap_high=s, heap_low=s,
+                          high_count=s, low_count=s, num_buckets=gn,
+                          num_blocks=gn),
+        pool=VoxelPool(sdf=s, sumsq=s, weight=s, rgbp=s), frame=PSpec())
+
+    sharded_cache = {}
+
+    def get_sharded(cam: C.Camera, shape):
+        key = (cam.rows, cam.cols, cam.model, shape)
+        if key not in sharded_cache:
+            cam_spec = jax.tree.map(lambda _: PSpec(), cam)
+            sharded_cache[key] = shard_map(
+                local_step, mesh=mesh,
+                in_specs=(specs.table, specs.pool, PSpec(), cam_spec,
+                          PSpec(), PSpec(), PSpec(), PSpec()),
+                out_specs=(specs.table, specs.pool,
+                           dict(occupied_blocks=PSpec(), high_free=PSpec(),
+                                low_free=PSpec(), frame=PSpec())),
+                check_vma=False)
+        return sharded_cache[key]
+
+    @jax.jit
+    def step(state: MapState, cam: C.Camera, points, normals, weights,
+             point_valid):
+        table, pool, stats = get_sharded(cam, points.shape[0])(
+            state.table, state.pool, state.frame, cam, points, normals,
+            weights, point_valid)
         new_state = MapState(table=table, pool=pool, frame=state.frame + 1)
         return new_state, stats
 

@@ -83,3 +83,116 @@ def test_sharded_state_is_actually_sharded(mesh):
     shards = sstate.table.ptr.addressable_shards
     assert len(shards) == 8
     assert shards[0].data.shape[0] == sstate.table.ptr.shape[0] // 8
+
+
+def test_sharded_multires_matches_single_chip(mesh):
+    """Variance coarsening on the sharded path: a coarsened block keeps its
+    key (same owner), so shard-local coarsening must reproduce the
+    single-chip multi-res map bit-for-bit (VERDICT r1 gap: the sharded path
+    previously skipped coarsening silently)."""
+    import dataclasses
+    cfg = dataclasses.replace(make_cfg(), sdf_var_threshold=0.5)
+    cam = C.make_camera(fx=40.0, fy=40.0, cx=COLS / 2 - 0.5,
+                        cy=ROWS / 2 - 0.5, rows=ROWS, cols=COLS,
+                        min_depth=0.01, max_depth=5.0)
+    rng = np.random.default_rng(3)
+    depths = [jnp.asarray(2.0 + rng.normal(0, 0.004, (ROWS, COLS)),
+                          jnp.float32) for _ in range(3)]
+    rgb = jnp.full((ROWS, COLS, 3), 128, jnp.uint8)
+
+    step = S.sharded_integrate_rgbd(cfg, mesh)
+    sstate = S.make_sharded_state(cfg, mesh)
+    state = make_state(cfg.num_blocks)
+    for d in depths:
+        sstate, sstats = step(sstate, cam, d, rgb)
+        state, stats = pipeline.integrate_rgbd(cfg, state, cam, d, rgb)
+
+    def content(table, pool, lcl_nb=None):
+        occ = np.asarray(table.ptr) != P.FREE_ENTRY
+        pos = np.asarray(table.pos)[occ]
+        res = np.asarray(table.res)[occ]
+        ptr = np.asarray(table.ptr)[occ]
+        if lcl_nb is not None:
+            cap = np.asarray(table.ptr).shape[0] // 8
+            shard = np.nonzero(occ)[0] // cap
+            ptr = ptr + shard * lcl_nb * P.TOTAL_SDF_BLOCK_SIZE
+        lanes = np.arange(P.TOTAL_SDF_BLOCK_SIZE)
+        sdf = np.asarray(pool.sdf).reshape(-1)[ptr[:, None] + lanes]
+        w = np.asarray(pool.weight).reshape(-1)[ptr[:, None] + lanes]
+        order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
+        return pos[order], res[order], sdf[order], w[order]
+
+    lcfg = S.local_config(cfg, 8)
+    p1, r1, s1, w1 = content(state.table, state.pool)
+    ps, rs, ss, ws = content(sstate.table, sstate.pool, lcfg.num_blocks)
+    # some blocks must actually have coarsened for this test to mean anything
+    assert (r1 == 1).any()
+    assert np.array_equal(p1, ps)
+    assert np.array_equal(r1, rs)
+    # voxel payloads compare only on each block's own window (a res-1 block
+    # owns 64 lanes starting at its ptr; content() gathered from ptr, which
+    # IS the window start)
+    n_lanes = np.where(r1 == 1, P.TOTAL_LOW_BLOCK_SIZE,
+                       P.TOTAL_SDF_BLOCK_SIZE)
+    mask = np.arange(P.TOTAL_SDF_BLOCK_SIZE)[None, :] < n_lanes[:, None]
+    assert np.array_equal(np.where(mask, w1, 0), np.where(mask, ws, 0))
+    assert np.allclose(np.where(mask, s1, 0.0), np.where(mask, ss, 0.0),
+                       atol=1e-6)
+
+
+def test_sharded_lidar_matches_single_chip(mesh):
+    """Point-cloud integration over the mesh: point-sharded allocation with
+    owner routing + map-sharded segment-sum integration must match the
+    single-chip integrate_points path."""
+    cfg = make_cfg()
+    import dataclasses
+    cfg = dataclasses.replace(cfg, virtual_voxel_size=0.2,
+                              sdf_truncation=0.4,
+                              max_integration_distance=50.0)
+    cam = C.make_camera(fx=COLS / (2 * np.pi), fy=ROWS / (np.pi / 3),
+                        cx=COLS / 2, cy=ROWS / 2, rows=ROWS, cols=COLS,
+                        min_depth=0.2, max_depth=50.0, model=C.SPHERICAL)
+    n = 512
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    pts = np.stack([10 * np.cos(ang), 10 * np.sin(ang),
+                    0.3 * np.sin(3 * ang)], 1)
+    points = jnp.asarray(pts, jnp.float32)
+    normals = jnp.zeros((n, 3), jnp.float32)
+    weights = jnp.ones((n,), jnp.float32)
+    valid = jnp.ones((n,), bool)
+
+    step = S.sharded_integrate_points(cfg, mesh)
+    sstate = S.make_sharded_state(cfg, mesh)
+    state = make_state(cfg.num_blocks)
+    for _ in range(2):
+        sstate, sstats = step(sstate, cam, points, normals, weights, valid)
+        state, stats = pipeline.integrate_points(cfg, state, cam, points,
+                                                 normals, weights, valid)
+
+    occ_s = np.asarray(sstate.table.ptr) != P.FREE_ENTRY
+    occ_1 = np.asarray(state.table.ptr) != P.FREE_ENTRY
+    pos_s = np.unique(np.asarray(sstate.table.pos)[occ_s], axis=0)
+    pos_1 = np.unique(np.asarray(state.table.pos)[occ_1], axis=0)
+    assert np.array_equal(pos_s, pos_1)
+    assert int(sstats["occupied_blocks"]) == int(stats["occupied_blocks"])
+
+    def content(table, pool, lcl_nb=None):
+        occ = np.asarray(table.ptr) != P.FREE_ENTRY
+        pos = np.asarray(table.pos)[occ]
+        ptr = np.asarray(table.ptr)[occ]
+        if lcl_nb is not None:
+            cap = np.asarray(table.ptr).shape[0] // 8
+            shard = np.nonzero(occ)[0] // cap
+            ptr = ptr + shard * lcl_nb * P.TOTAL_SDF_BLOCK_SIZE
+        lanes = np.arange(P.TOTAL_SDF_BLOCK_SIZE)
+        sdf = np.asarray(pool.sdf).reshape(-1)[ptr[:, None] + lanes]
+        w = np.asarray(pool.weight).reshape(-1)[ptr[:, None] + lanes]
+        order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
+        return pos[order], sdf[order], w[order]
+
+    lcfg = S.local_config(cfg, 8)
+    p1, s1, w1 = content(state.table, state.pool)
+    ps, ss, ws = content(sstate.table, sstate.pool, lcfg.num_blocks)
+    assert np.array_equal(p1, ps)
+    assert np.array_equal(w1, ws)
+    assert np.allclose(s1, ss, atol=1e-6)
