@@ -48,28 +48,30 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
     # --- compaction + integration -----------------------------------------
     slots, count, bpos, bptr, bres, bvalid = I.compact_active(cfg, table, cam)
     unserved = None
-    if cfg.sample_mode == "fused" and cfg.sdf_var_threshold == 0.0:
+    if cfg.sample_mode == "fused":
         # single fused Pallas pass (projection + sampling + TSDF merge);
-        # multi-res windows mix res-1 blocks that share carved pool rows,
-        # which the row-granular fused writeback cannot serve — they keep
-        # the split sampler path below
+        # multi-res windows carry res + lane0 in the kernel meta and write
+        # back window-granularly (sibling res-1 blocks share pool rows)
         pool, iaux = I.fused_integrate_depth(
             cfg, state.pool, cam, pc_depth, rgb_img,
             bpos, bptr, bres, bvalid, frame=state.frame)
         unserved = iaux["unserved_blocks"]
     else:
-        icfg = cfg
-        if cfg.sample_mode == "fused":
-            icfg = dataclasses.replace(cfg, sample_mode="pallas")
-        pool = I.integrate_depth(icfg, state.pool, cam, pc_depth, rgb_img,
+        pool = I.integrate_depth(cfg, state.pool, cam, pc_depth, rgb_img,
                                  bpos, bptr, bres, bvalid)
 
     # --- variance-adaptive coarsening --------------------------------------
     if cfg.sdf_var_threshold > 0.0:
+        # reintegrate via the split pallas sampler (integrate_depth has no
+        # fused mode; gather mode would cost ~4M element gathers at the
+        # max_coarsen window)
+        rcfg = (dataclasses.replace(cfg, sample_mode="pallas")
+                if cfg.sample_mode == "fused" else cfg)
+
         def do_coarsen(table, pool):
             t, p, new_slots, new_mask = I.coarsen_by_variance(
                 cfg, table, pool, slots, bpos, bptr, bres, bvalid)
-            p = I.reintegrate_blocks(cfg, t, p, cam, pc_depth, rgb_img,
+            p = I.reintegrate_blocks(rcfg, t, p, cam, pc_depth, rgb_img,
                                      new_slots, new_mask)
             return t, p
 
@@ -89,7 +91,9 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
             lambda p: I.starve_voxels(cfg, p, cam, bpos, bptr, bres, bvalid),
             lambda p: p, pool)
         flags = None
-        if unserved is not None:  # fused path: GC inputs ride the kernel out
+        if unserved is not None and cfg.sdf_var_threshold == 0.0:
+            # fused path: GC inputs ride the kernel out (single-res only —
+            # res-1 flag lanes would mix sibling windows sharing the row)
             flags = (iaux["gc_min_s"], iaux["gc_max_w"])
         table, pool = I.garbage_collect_sweep(
             cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid,
@@ -116,7 +120,7 @@ def integrate_points(cfg: MapConfig, state: MapState, cam: C.Camera,
     slots, count, bpos, bptr, bres, bvalid = I.compact_active(cfg, table)
     pool = I.integrate_points_sdf(cfg, table, state.pool, cam, points,
                                   normals, weights, point_valid,
-                                  num_voxel_steps)
+                                  num_voxel_steps, frame=state.frame)
 
     if cfg.sdf_var_threshold > 0.0:
         def do_coarsen(table, pool):

@@ -150,6 +150,7 @@ class MapConfig:
     sample_patch: int = 16                   # per-block image patch side
     sample_fallback: int = 1 << 16           # out-of-patch lane budget
     sample_mode: str = "gather"              # gather | patch | pallas | fused
+    lookup_dedup_scratch: int = 1 << 15      # cells for dedup-fronted lookup
     pallas_interpret: bool = False           # run kernels interpreted (CPU)
 
     @property

@@ -107,14 +107,29 @@ def _kernel(b, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
         wpad = cam_ref[0, 27]
 
         # ---- batched [b,512] lattice -> pixel projection -------------------
+        # meta lane 4 = block resolution (0: 8^3 dense row; 1: 4^3 carved
+        # 64-lane window at lane0 = meta lane 5); local lane -> voxel offset
+        # mirrors _block_voxel_grid (dense res-1 indexing fix, ops/coords.py)
         lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
-        offx = (lane % 8).astype(jnp.float32)
-        offy = ((lane // 8) % 8).astype(jnp.float32)
-        offz = (lane // 64).astype(jnp.float32)
+        res1 = meta_ref[:, 4:5] == 1                          # [b,1]
+        lane0 = meta_ref[:, 5:6]                              # [b,1]
+        local = lane - lane0
+        in_win = (local >= 0) & (local < jnp.where(res1, 64, LANES))
+        lsafe = jnp.clip(local, 0, LANES - 1)
+        off0x = (lsafe % 8).astype(jnp.float32)
+        off0y = ((lsafe // 8) % 8).astype(jnp.float32)
+        off0z = (lsafe // 64).astype(jnp.float32)
+        l4 = jnp.clip(local, 0, 63)
+        off1x = ((l4 % 4) * 2).astype(jnp.float32)
+        off1y = (((l4 // 4) % 4) * 2).astype(jnp.float32)
+        off1z = ((l4 // 16) * 2).astype(jnp.float32)
+        offx = jnp.where(res1, off1x, off0x)
+        offy = jnp.where(res1, off1y, off0y)
+        offz = jnp.where(res1, off1z, off0z)
         bx = meta_ref[:, 0:1].astype(jnp.float32)             # [b,1]
         by = meta_ref[:, 1:2].astype(jnp.float32)
         bz = meta_ref[:, 2:3].astype(jnp.float32)
-        bvalid = meta_ref[:, 3:4] != 0                        # [b,1]
+        bvalid = (meta_ref[:, 3:4] != 0) & in_win             # [b,512]
 
         pwx = (bx * 8.0 + offx) * vvs - tx
         pwy = (by * 8.0 + offy) * vvs - ty
@@ -133,7 +148,7 @@ def _kernel(b, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
         col = colf.astype(jnp.int32)
         # C truncation toward zero maps (-1,0) to 0, which then passes the
         # row >= 0 test — the reference's exact quirk (camera.cuh:131-165)
-        ok = (depth_ok & (row >= 0) & (col >= 0)
+        ok = (bvalid & depth_ok & (row >= 0) & (col >= 0)
               & (row.astype(jnp.float32) < rows_f)
               & (col.astype(jnp.float32) < cols_f))
 

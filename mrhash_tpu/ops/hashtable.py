@@ -176,6 +176,59 @@ def lookup(table: HashTable, keys, valid=None, with_uncertain=False):
     return found, slot, ptr, res
 
 
+def fingerprint2(block_pos):
+    """Secondary fingerprint (independent mixing chain) for the dedup-lookup
+    verification: combined with the cell match it gives ~46+ bits of key
+    discrimination without gathering the 96-bit key."""
+    x = block_pos[..., 0].astype(jnp.uint32)
+    y = block_pos[..., 1].astype(jnp.uint32)
+    z = block_pos[..., 2].astype(jnp.uint32)
+    h = _avalanche(z * jnp.uint32(0xB5297A4D))
+    h = _avalanche(h ^ (x * jnp.uint32(0x68E31DA4)))
+    h = _avalanche(h ^ (y * jnp.uint32(0x1B56C4E9)))
+    return h.astype(jnp.int32)
+
+
+def lookup_dedup(table: HashTable, keys, valid, scratch_size: int,
+                 frame_salt=None):
+    """lookup() with a dedup front-end for highly-duplicated key batches
+    (the per-voxel LiDAR walk visits ~N*K keys but only ~occupied-blocks
+    DISTINCT ones; probing every duplicate costs NUM_PROBES element gathers
+    per key — 95 ms of the round-2 LiDAR frame).
+
+    Elect one representative per scratch cell (salted scatter, like
+    dedup_candidates), probe-lookup only the <= scratch_size
+    representatives, then map results back with TWO element gathers per key
+    (packed ptr/res/found + a secondary-fingerprint verify).  Distinct keys
+    colliding in a cell resolve as not-found for the loser and rotate with
+    the frame salt — the usual staggered-drop semantics.
+
+    Returns (found[M], ptr[M], res[M])."""
+    M = keys.shape[0]
+    fpk = fingerprint(keys).astype(jnp.uint32)
+    salt = (jnp.uint32(0) if frame_salt is None
+            else frame_salt.astype(jnp.uint32))
+    cell = (_avalanche(fpk + salt * jnp.uint32(2654435761))
+            % jnp.uint32(scratch_size)).astype(jnp.int32)
+
+    scr = jnp.full((scratch_size,), -1, jnp.int32).at[
+        jnp.where(valid, cell, scratch_size)].set(
+        jnp.arange(M, dtype=jnp.int32), mode="drop")
+    rvalid = scr >= 0
+    ridx = jnp.where(rvalid, scr, 0)
+    rkeys = keys[ridx]
+    f, _, p, r = lookup(table, rkeys, rvalid)
+    # pack (ptr, res, found) into one lane: ptr < num_blocks*512 < 2^29
+    pack = jnp.where(f, (p << 2) | (r << 1) | 1, 0)
+    rfp2 = jnp.where(rvalid, fingerprint2(rkeys), 0)
+
+    my_pack = pack[cell]
+    ok = valid & ((my_pack & 1) == 1) & (rfp2[cell] == fingerprint2(keys))
+    ptr = jnp.where(ok, my_pack >> 2, FREE)
+    res = jnp.where(ok, (my_pack >> 1) & 1, 0)
+    return ok, ptr, res
+
+
 def _heap_draw(heap, count, want_mask):
     """Draw one free id per True in want_mask (prefix-sum ranked).
 

@@ -390,39 +390,44 @@ def _block_voxel_grid(bpos, bres, lane0=None):
 
 
 def _scatter_block_rows(pool: VoxelPool, row, bres, bvalid, update_mask,
-                        new, old, multires: bool = True):
+                        new, old, multires: bool = True, lane0=None):
     """Write per-block lane updates back to the pool the fast way:
-    whole-row scatters for res-0 blocks (their rows are unique), element-
-    wise window scatters for the (minority) res-1 blocks sharing carved
-    rows.  `new`/`old` are dicts of [A,512(,3)] lane values; update_mask
-    [A,512] selects the lanes to change.
+    whole-row scatters for res-0 blocks (their rows are unique), and for
+    res-1 blocks one 64-lane row scatter per CARVE POSITION (lane0/64 in
+    0..7): siblings sharing a row necessarily sit at distinct carve
+    positions, so each of the 8 scatters is conflict-free and row-granular
+    — an element-wise window scatter here would carry an A*512-element
+    source every call (~6 ms per 1M source elements on v5e, the round-2
+    multi-res 910 ms/frame pathology).  `new`/`old` are dicts of
+    [A,512(,3)] lane values in ROW layout (a res-1 block's 64 lanes sit at
+    [lane0, lane0+64)); update_mask [A,512] selects lanes to change.
 
     multires=False (single-resolution configs, sdf_var_threshold == 0)
-    statically drops the res-1 pass: XLA:TPU may flatten lax.cond into
+    statically drops the res-1 passes: XLA:TPU may flatten lax.cond into
     both-branches+select, so even an always-false res-1 branch costs real
     scatter time."""
     n_rows = pool.sdf.shape[0]
     is0 = bvalid & ((bres == 0) if multires else True)
     row0 = jnp.where(is0, row, n_rows)
-
     if multires:
+        assert lane0 is not None, "multires scatter needs carve lane0"
         is1 = bvalid & (bres == 1)
-        lanes = jnp.arange(LANES, dtype=jnp.int32)
-        flat_idx = row[:, None] * LANES + lanes[None, :]
-        w_mask = update_mask & is1[:, None]
-        flat_dest = jnp.where(w_mask, flat_idx, pool.num_voxels).reshape(-1)
+        carve = lane0 // P.TOTAL_LOW_BLOCK_SIZE
 
     out = {}
+    L1 = P.TOTAL_LOW_BLOCK_SIZE
     for name, new_vals in new.items():
         m = (update_mask[..., None] if new_vals.ndim == 3 else update_mask)
         full = jnp.where(m, new_vals, old[name])
         arr = getattr(pool, name)
         arr = arr.at[row0].set(full, mode="drop", unique_indices=True)
         if multires:
-            flat_shape = (-1, 3) if new_vals.ndim == 3 else (-1,)
-            flat = arr.reshape(flat_shape).at[flat_dest].set(
-                new_vals.reshape(flat_shape), mode="drop")
-            arr = flat.reshape(arr.shape)
+            for c in range(P.OCTREE_BRANCHING_FACTOR):
+                sel = is1 & (carve == c)
+                rows_c = jnp.where(sel, row, n_rows)
+                win = full[:, c * L1:(c + 1) * L1]
+                arr = arr.at[rows_c, c * L1:(c + 1) * L1].set(
+                    win, mode="drop", unique_indices=True)
         out[name] = arr
     return pool.replace(**out)
 
@@ -625,7 +630,7 @@ def integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     return _scatter_block_rows(
         pool, prow, bres, bvalid, update,
         dict(sdf=m_sdf, weight=m_w, sumsq=m_ssq, rgbp=pack_rgb(m_rgb)), old,
-        multires=cfg.sdf_var_threshold > 0.0)
+        multires=cfg.sdf_var_threshold > 0.0, lane0=lane0)
 
 
 # ---------------------------------------------------------------------------
@@ -649,20 +654,27 @@ def _patch_origins(cam: C.Camera, bpos, vvs, hpad, wpad, ph, pw):
 def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
                           pc_depth, rgb_img, bpos, bptr, bres, bvalid,
                           frame=None):
-    """One-kernel depth integration for res-0 blocks (the caller partitions
-    res-1 blocks to the XLA path in multi-res mode): pack pool rows, run the
-    fused Pallas kernel, scatter rows back, then serve out-of-patch lanes of
-    up to sample_fallback/512 blocks with the element-wise XLA path (rotated
-    by frame so overflow staggers instead of starving the same blocks).
+    """One-kernel depth integration over the compacted window: pack pool
+    rows, run the fused Pallas kernel, scatter rows back, then serve
+    out-of-patch lanes of up to sample_fallback/512 blocks with the
+    element-wise XLA path (rotated by frame so overflow staggers instead of
+    starving the same blocks).
+
+    Multi-res windows ride the same kernel: the meta carries res + lane0 and
+    the kernel masks its fuse to the block's carved 64-lane window; the
+    writeback then uses window-granular scatters (sibling res-1 blocks share
+    a pool row, so whole-row scatters would collide).
 
     Returns (pool', aux) with aux = dict(gc_min_s[A], gc_max_w[A],
-    unserved_blocks scalar) — the GC flags come free from the kernel."""
+    unserved_blocks scalar) — the GC flags come free from the kernel (valid
+    for res-0 rows only; the multi-res GC keeps the gather path)."""
     from mrhash_tpu.ops import fused_integrate as FI
 
     H_, W_ = pc_depth.shape
     A = bpos.shape[0]
     hpad = max(((H_ + 7) // 8) * 8, FI.PATCH_H)
     wpad = max(((W_ + 127) // 128) * 128, FI.PATCH_W)
+    multires = cfg.sdf_var_threshold > 0.0
 
     packed = (rgb_img[..., 0].astype(jnp.float32)
               + rgb_img[..., 1].astype(jnp.float32) * 256.0
@@ -676,11 +688,14 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
         cfg.integration_weight_sample, cfg.integration_weight_max,
         hpad, wpad)
 
+    prow, lane0 = _block_rows(bptr, bvalid)
     meta = jnp.zeros((A, 128), jnp.int32)
     meta = meta.at[:, :3].set(jnp.where(bvalid[:, None], bpos, 0))
     meta = meta.at[:, 3].set(bvalid.astype(jnp.int32))
+    if multires:
+        meta = meta.at[:, 4].set(jnp.where(bvalid, bres, 0))
+        meta = meta.at[:, 5].set(lane0)
 
-    prow, _ = _block_rows(bptr, bvalid)
     cast = jax.lax.bitcast_convert_type
     pool_rows = jnp.concatenate(
         [cast(pool.sdf[prow], jnp.int32), cast(pool.sumsq[prow], jnp.int32),
@@ -690,17 +705,32 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
                                     interpret=cfg.pallas_interpret)
 
     L = LANES
-    n_rows = pool.sdf.shape[0]
-    row0 = jnp.where(bvalid, prow, n_rows)
-    pool = pool.replace(
-        sdf=pool.sdf.at[row0].set(cast(out[:, 0:L], jnp.float32),
-                                  mode="drop", unique_indices=True),
-        sumsq=pool.sumsq.at[row0].set(cast(out[:, L:2 * L], jnp.float32),
+    if multires:
+        # window-granular writeback: kernel out rows hold merged values in
+        # each block's window and stale sibling data outside it
+        lanes = jnp.arange(L, dtype=jnp.int32)
+        local = lanes[None, :] - lane0[:, None]
+        nvox = jnp.where(bres == 1, P.TOTAL_LOW_BLOCK_SIZE, L)[:, None]
+        in_win = (local >= 0) & (local < nvox) & bvalid[:, None]
+        new = dict(sdf=cast(out[:, 0:L], jnp.float32),
+                   sumsq=cast(out[:, L:2 * L], jnp.float32),
+                   weight=out[:, 2 * L:3 * L],
+                   rgbp=out[:, 3 * L:4 * L])
+        old = _gather_block_rows(pool, prow)
+        pool = _scatter_block_rows(pool, prow, bres, bvalid, in_win,
+                                   new, old, multires=True, lane0=lane0)
+    else:
+        n_rows = pool.sdf.shape[0]
+        row0 = jnp.where(bvalid, prow, n_rows)
+        pool = pool.replace(
+            sdf=pool.sdf.at[row0].set(cast(out[:, 0:L], jnp.float32),
                                       mode="drop", unique_indices=True),
-        weight=pool.weight.at[row0].set(out[:, 2 * L:3 * L],
-                                        mode="drop", unique_indices=True),
-        rgbp=pool.rgbp.at[row0].set(out[:, 3 * L:4 * L],
-                                    mode="drop", unique_indices=True))
+            sumsq=pool.sumsq.at[row0].set(cast(out[:, L:2 * L], jnp.float32),
+                                          mode="drop", unique_indices=True),
+            weight=pool.weight.at[row0].set(out[:, 2 * L:3 * L],
+                                            mode="drop", unique_indices=True),
+            rgbp=pool.rgbp.at[row0].set(out[:, 3 * L:4 * L],
+                                        mode="drop", unique_indices=True))
 
     aux = dict(gc_min_s=cast(out[:, 4 * L + 1], jnp.float32),
                gc_max_w=out[:, 4 * L + 2])
@@ -722,9 +752,12 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     aux["unserved_blocks"] = total_need - jnp.sum(bok.astype(jnp.int32))
 
     fb_pos = bpos[bsel]
+    fb_res = bres[bsel]
+    fb_lane0 = lane0[bsel]
     r0, c0 = _patch_origins(cam, fb_pos, cfg.virtual_voxel_size,
                             hpad, wpad, FI.PATCH_H, FI.PATCH_W)
-    pif, _ = _block_voxel_grid(fb_pos, jnp.zeros((BB,), jnp.int32))
+    pif, _ = _block_voxel_grid(fb_pos, fb_res,
+                               fb_lane0 if multires else None)
     pf = X.virtual_voxel_pos_to_world(cfg.virtual_voxel_size, pif)
     row, col, okp = C.project_point(cam, C.world_to_cam(cam, pf))
     lr = row - r0[:, None]
@@ -740,7 +773,7 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
 
 def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
                          cam: C.Camera, points, normals, weights,
-                         point_valid, num_steps: int):
+                         point_valid, num_steps: int, frame=None):
     """integrate3DKernel (voxel_data_structures.cu:1214-1401): per-point DDA
     over the *voxel* grid in the truncation band; each visited allocated
     voxel gets a projective (range difference) or point-to-plane SDF update.
@@ -777,11 +810,13 @@ def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     vox, visit = _dda_visit(cfg, cam, pw_min, pw_max, ray_valid, num_steps,
                             block_level=False)              # [K,N,3],[K,N]
 
-    # hash lookup per visited voxel
+    # hash lookup per visited voxel, dedup-fronted: the K*N visited keys
+    # collapse to ~occupied-blocks distinct ones
     blk = X.virtual_voxel_pos_to_sdf_block(
         vox, vvs, jnp.asarray(cfg.voxel_extents, jnp.float32))
-    found, _, eptr, eres = H.lookup(table, blk.reshape(-1, 3),
-                                    visit.reshape(-1))
+    found, eptr, eres = H.lookup_dedup(
+        table, blk.reshape(-1, 3), visit.reshape(-1),
+        cfg.lookup_dedup_scratch, frame_salt=frame)
     found = found.reshape(visit.shape)
     eptr = eptr.reshape(visit.shape)
     eres = eres.reshape(visit.shape)
@@ -895,7 +930,7 @@ def starve_voxels(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     return _scatter_block_rows(
         pool, prow, bres, bvalid, starved,
         dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0),
-        multires=cfg.sdf_var_threshold > 0.0)
+        multires=cfg.sdf_var_threshold > 0.0, lane0=lane0)
 
 
 def _clear_blocks(pool: VoxelPool, bptr, bres, mask, multires=True):
@@ -914,7 +949,7 @@ def _clear_blocks(pool: VoxelPool, bptr, bres, mask, multires=True):
     old = _gather_block_rows(pool, prow)
     return _scatter_block_rows(pool, prow, bres, mask,
                                in_window & mask[:, None], zero, old,
-                               multires=multires)
+                               multires=multires, lane0=lane0)
 
 
 def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,

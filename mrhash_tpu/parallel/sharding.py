@@ -228,7 +228,7 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
         return I._scatter_block_rows(
             pool, prow, bres, bvalid, starved,
             dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0),
-            multires=lcfg.sdf_var_threshold > 0.0)
+            multires=lcfg.sdf_var_threshold > 0.0, lane0=lane0)
 
     gn = lcfg.num_blocks * n
     s = PSpec(AXIS)
@@ -313,7 +313,7 @@ def sharded_integrate_points(cfg: MapConfig, mesh: Mesh):
         slots, count, bpos, bptr, bres, bvalid = I.compact_active(lcfg, table)
         pool = I.integrate_points_sdf(lcfg, table, pool, cam, points,
                                       normals, weights, point_valid,
-                                      num_voxel_steps)
+                                      num_voxel_steps, frame=frame)
 
         if cfg.sdf_var_threshold > 0.0:
             def do_coarsen(table, pool):
@@ -377,7 +377,7 @@ def sharded_integrate_points(cfg: MapConfig, mesh: Mesh):
         return I._scatter_block_rows(
             pool, prow, bres, bvalid, starved,
             dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0),
-            multires=lcfg.sdf_var_threshold > 0.0)
+            multires=lcfg.sdf_var_threshold > 0.0, lane0=lane0)
 
     gn = lcfg.num_blocks * n
     s = PSpec(AXIS)

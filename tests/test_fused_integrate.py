@@ -98,3 +98,44 @@ def test_fused_serves_near_blocks_via_fallback():
     assert int((ref_w > 0).sum()) > 0
     # fallback budget (sample_fallback) covers this small scene fully
     np.testing.assert_array_equal(got_w, ref_w)
+
+
+def test_fused_multires_matches_split():
+    """Multi-res windows (res-1 carved blocks sharing pool rows) through the
+    fused kernel: meta res/lane0 + window-granular writeback must match the
+    split pallas-sampler path that the multi-res pipeline used before."""
+    from mrhash_tpu import params as P
+
+    def run_multires(cfg):
+        cam, _, rgb = _scene()
+        state = make_state(cfg.num_blocks)
+        step = jax.jit(lambda s, d: pipeline.integrate_rgbd(cfg, s, cam, d,
+                                                            rgb)[0])
+        rng = np.random.default_rng(7)
+        r = np.arange(ROWS, dtype=np.float32)[:, None]
+        c = np.arange(COLS, dtype=np.float32)[None, :]
+        base = 1.6 + 0.3 * np.sin(c / 37.0) + 0.2 * np.cos(r / 17.0)
+        for _ in range(3):
+            # per-frame noise so the Welford variance is strictly positive
+            # (coarsening requires 0 < avg_var < threshold)
+            d = np.round((base + rng.normal(0, 0.004, base.shape))
+                         * 2048.0) / 2048.0
+            state = step(state, jnp.asarray(d, jnp.float32))
+        return jax.device_get(state)
+
+    kw = dict(sdf_var_threshold=10.0)
+    ref = run_multires(_cfg(sample_mode="gather", **kw))
+    got = run_multires(_cfg(sample_mode="fused", pallas_interpret=True, **kw))
+
+    occ = np.asarray(ref.table.ptr) != P.FREE_ENTRY
+    res_ref = np.asarray(ref.table.res)[occ]
+    assert (res_ref == 1).any(), "scene never coarsened; test is vacuous"
+
+    np.testing.assert_array_equal(got.table.ptr, ref.table.ptr)
+    np.testing.assert_array_equal(got.table.pos, ref.table.pos)
+    np.testing.assert_array_equal(got.table.res, ref.table.res)
+    np.testing.assert_array_equal(got.pool.weight, ref.pool.weight)
+    upd = np.asarray(ref.pool.weight) > 0
+    np.testing.assert_allclose(got.pool.sdf[upd], ref.pool.sdf[upd],
+                               atol=2e-5, rtol=0)
+    np.testing.assert_array_equal(got.pool.rgbp[upd], ref.pool.rgbp[upd])
