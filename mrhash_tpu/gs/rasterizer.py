@@ -199,6 +199,126 @@ def _tile_pairs(attrs, grid_x, grid_y):
         gidx.reshape(-1), ok.reshape(-1))
 
 
+def _alpha_terms(xy, con, op, pixf):
+    """Shared forward/backward math of one blend step: gaussian falloff and
+    alpha for each pixel of each tile (forward.cu:300-318)."""
+    d = xy[:, None, :] - pixf                  # [T,256,2]
+    power = (-0.5 * con[:, None, 0] * d[..., 0] * d[..., 0]
+             - 0.5 * con[:, None, 2] * d[..., 1] * d[..., 1]
+             - con[:, None, 1] * d[..., 0] * d[..., 1])
+    expp = jnp.exp(power)
+    alpha = jnp.minimum(0.99, op[:, None] * expp)
+    return d, power, expp, alpha
+
+
+def _blend_forward(txy, tconic, topac, trgb, lvalid, pixf):
+    """Front-to-back compositing (forward.cu:249-356) emitting a per-step
+    blended mask for the hand-written backward."""
+    def blend_step(carry, inputs):
+        T, C = carry                               # [T,256], [T,256,3]
+        xy, con, op, rgb, v = inputs               # per-k slices
+        _, power, _, alpha = _alpha_terms(xy, con, op, pixf)
+        use = ((v[:, None] > 0) & (power <= 0.0)
+               & (alpha >= ALPHA_THRESHOLD) & (T >= ALPHA_MIN))
+        test_T = T * (1.0 - alpha)
+        # reference: a gaussian pushing T below ALPHA_MIN is NOT blended
+        blended = use & (test_T >= ALPHA_MIN)
+        contrib = jnp.where(blended, alpha * T, 0.0)
+        C = C + contrib[..., None] * rgb[:, None, :]
+        T = jnp.where(blended, test_T, T)
+        return (T, C), blended
+
+    n_tiles = txy.shape[0]
+    T0 = jnp.ones((n_tiles, BLOCK * BLOCK), jnp.float32)
+    C0 = jnp.zeros((n_tiles, BLOCK * BLOCK, 3), jnp.float32)
+    (Tfin, Cfin), blended = jax.lax.scan(
+        blend_step, (T0, C0),
+        (jnp.moveaxis(txy, 1, 0), jnp.moveaxis(tconic, 1, 0),
+         jnp.moveaxis(topac, 1, 0), jnp.moveaxis(trgb, 1, 0),
+         jnp.moveaxis(lvalid, 1, 0)))
+    return (Tfin, Cfin), blended
+
+
+@jax.custom_vjp
+def blend_tiles(txy, tconic, topac, trgb, lvalid, pixf):
+    """Differentiable tile compositing with an O(1)-state hand-written
+    backward (renderBackwardsCUDA, backward.cu:386-594): instead of letting
+    autodiff store per-step (T, C) residuals through the K-step scan (~2 GB
+    at 1200x680, the round-1 VERDICT's memory blocker), the backward
+    re-walks the list back-to-front, recovering each step's transmittance by
+    dividing the saved final T by (1 - alpha_k) exactly where the saved
+    blended bit is set.  Residuals: inputs + final T + a [K,T,256] i8
+    blended mask (~105 MB at reference resolution)."""
+    (Tfin, Cfin), _ = _blend_forward(txy, tconic, topac, trgb, lvalid, pixf)
+    return Tfin, Cfin
+
+
+def _blend_fwd(txy, tconic, topac, trgb, lvalid, pixf):
+    (Tfin, Cfin), blended = _blend_forward(txy, tconic, topac, trgb, lvalid,
+                                           pixf)
+    res = (txy, tconic, topac, trgb, pixf, Tfin,
+           blended.astype(jnp.int8))
+    return (Tfin, Cfin), res
+
+
+def _blend_bwd(res, cts):
+    txy, tconic, topac, trgb, pixf, Tfin, blended8 = res
+    gT, gC = cts                                   # [T,256], [T,256,3]
+
+    def back_step(carry, inputs):
+        T_after, S = carry                         # T after k; suffix color
+        xy, con, op, rgb, blended = inputs
+        d, power, expp, alpha = _alpha_terms(xy, con, op, pixf)
+        b = blended > 0                            # [T,256]
+        one_m = jnp.where(b, 1.0 - alpha, 1.0)
+        T_before = T_after / one_m                 # alpha <= 0.99
+        w = jnp.where(b, alpha * T_before, 0.0)    # contrib weight
+
+        # dL/drgb_k = g . w_k   (summed over pixels -> [T,3])
+        d_rgb = jnp.einsum("tpc,tp->tc", gC, w)
+
+        # dL/dalpha_k = g.(T_k rgb_k - S_k/(1-a)) - gT . Tfin/(1-a)
+        gdot_rgb = jnp.einsum("tpc,tc->tp", gC, rgb)
+        gdot_S = jnp.sum(gC * S, axis=-1)
+        d_alpha = jnp.where(
+            b, gdot_rgb * T_before - (gdot_S + gT * Tfin) / one_m, 0.0)
+
+        # alpha = min(0.99, op * e^p): clamped lanes get no gradient
+        live = (op[:, None] * expp) < 0.99
+        d_op_pix = jnp.where(live, d_alpha * expp, 0.0)
+        d_power = jnp.where(live, d_alpha * alpha, 0.0)
+
+        d_op = jnp.sum(d_op_pix, axis=-1)                        # [T]
+        d_con0 = jnp.sum(d_power * (-0.5 * d[..., 0] * d[..., 0]), -1)
+        d_con1 = jnp.sum(d_power * (-d[..., 0] * d[..., 1]), -1)
+        d_con2 = jnp.sum(d_power * (-0.5 * d[..., 1] * d[..., 1]), -1)
+        d_xy0 = jnp.sum(d_power * (-con[:, None, 0] * d[..., 0]
+                                   - con[:, None, 1] * d[..., 1]), -1)
+        d_xy1 = jnp.sum(d_power * (-con[:, None, 2] * d[..., 1]
+                                   - con[:, None, 1] * d[..., 0]), -1)
+
+        S = S + w[..., None] * rgb[:, None, :]
+        return (T_before, S), (jnp.stack([d_xy0, d_xy1], -1),
+                               jnp.stack([d_con0, d_con1, d_con2], -1),
+                               d_op, d_rgb)
+
+    n_tiles, K = txy.shape[0], txy.shape[1]
+    S0 = jnp.zeros((n_tiles, BLOCK * BLOCK, 3), jnp.float32)
+    (_, _), (g_xy, g_con, g_op, g_rgb) = jax.lax.scan(
+        back_step, (Tfin, S0),
+        (jnp.moveaxis(txy, 1, 0), jnp.moveaxis(tconic, 1, 0),
+         jnp.moveaxis(topac, 1, 0), jnp.moveaxis(trgb, 1, 0), blended8),
+        reverse=True)
+
+    return (jnp.moveaxis(g_xy, 0, 1), jnp.moveaxis(g_con, 0, 1),
+            jnp.moveaxis(g_op, 0, 1), jnp.moveaxis(g_rgb, 0, 1),
+            jnp.zeros(txy.shape[:2], jnp.float32),   # lvalid (mask, no grad)
+            jnp.zeros_like(pixf))
+
+
+blend_tiles.defvjp(_blend_fwd, _blend_bwd)
+
+
 def render(params, active, cam, bg_color, sh_degree, max_per_tile=128):
     """Full forward render -> (image f32[3,H,W], radii [G]).  Differentiable
     w.r.t. params through the gathered per-gaussian attributes."""
@@ -246,30 +366,8 @@ def render(params, active, cam, bg_color, sh_degree, max_per_tile=128):
         [(tile_x0[:, None] + pin[None, :] % BLOCK).astype(jnp.float32),
          (tile_y0[:, None] + pin[None, :] // BLOCK).astype(jnp.float32)], -1)
 
-    def blend_step(carry, inputs):
-        T, C = carry                               # [T,256], [T,256,3]
-        xy, con, op, rgb, v = inputs               # per-k slices
-        d = xy[:, None, :] - pixf                  # [T,256,2]
-        power = (-0.5 * con[:, None, 0] * d[..., 0] * d[..., 0]
-                 - 0.5 * con[:, None, 2] * d[..., 1] * d[..., 1]
-                 - con[:, None, 1] * d[..., 0] * d[..., 1])
-        alpha = jnp.minimum(0.99, op[:, None] * jnp.exp(power))
-        use = (v[:, None] & (power <= 0.0) & (alpha >= ALPHA_THRESHOLD)
-               & (T >= ALPHA_MIN))
-        test_T = T * (1.0 - alpha)
-        # reference: a gaussian pushing T below ALPHA_MIN is NOT blended
-        contrib = jnp.where(use & (test_T >= ALPHA_MIN), alpha * T, 0.0)
-        C = C + contrib[..., None] * rgb[:, None, :]
-        T = jnp.where(use & (test_T >= ALPHA_MIN), test_T, T)
-        return (T, C), None
-
-    T0 = jnp.ones((n_tiles, BLOCK * BLOCK), jnp.float32)
-    C0 = jnp.zeros((n_tiles, BLOCK * BLOCK, 3), jnp.float32)
-    (Tfin, Cfin), _ = jax.lax.scan(
-        blend_step, (T0, C0),
-        (jnp.moveaxis(txy, 1, 0), jnp.moveaxis(tconic, 1, 0),
-         jnp.moveaxis(topac, 1, 0), jnp.moveaxis(trgb, 1, 0),
-         jnp.moveaxis(lvalid, 1, 0)))
+    Tfin, Cfin = blend_tiles(txy, tconic, topac, trgb,
+                             lvalid.astype(jnp.float32), pixf)
 
     out = Cfin + Tfin[..., None] * bg_color[None, None, :]
 

@@ -145,3 +145,50 @@ def test_model_save_ply(tmp_path):
     data = open(f, "rb").read()
     assert b"element vertex 16" in data
     assert b"f_rest_44" in data  # SH degree 3: 15 coeffs x 3 channels
+
+
+def test_blend_custom_vjp_matches_autodiff():
+    """The hand-written back-to-front blend backward (rasterizer.blend_tiles,
+    mirrors backward.cu:386-594) must match autodiff through the forward
+    scan — including the alpha clamp, the skip masks, and the T_fin/bg
+    pathway."""
+    from mrhash_tpu.gs import rasterizer as R
+
+    rng = np.random.default_rng(0)
+    T, K = 3, 7
+    P = R.BLOCK * R.BLOCK
+    txy = jnp.asarray(rng.uniform(0, R.BLOCK, (T, K, 2)), jnp.float32)
+    # positive-definite-ish conics, a few large alphas to hit clamps
+    a = rng.uniform(0.05, 0.6, (T, K))
+    c = rng.uniform(0.05, 0.6, (T, K))
+    b = rng.uniform(-0.1, 0.1, (T, K))
+    tconic = jnp.asarray(np.stack([a, b, c], -1), jnp.float32)
+    topac = jnp.asarray(rng.uniform(0.2, 1.2, (T, K)), jnp.float32)
+    trgb = jnp.asarray(rng.uniform(0, 1, (T, K, 3)), jnp.float32)
+    lvalid = jnp.asarray(rng.uniform(0, 1, (T, K)) > 0.2, jnp.float32)
+    pin = jnp.arange(P, dtype=jnp.int32)
+    pixf = jnp.stack([jnp.broadcast_to((pin % R.BLOCK).astype(jnp.float32),
+                                       (T, P)),
+                      jnp.broadcast_to((pin // R.BLOCK).astype(jnp.float32),
+                                       (T, P))], -1)
+
+    def loss_custom(txy, tconic, topac, trgb):
+        Tf, Cf = R.blend_tiles(txy, tconic, topac, trgb, lvalid, pixf)
+        return jnp.sum(Cf * Cf) + 2.0 * jnp.sum(Tf)
+
+    def loss_auto(txy, tconic, topac, trgb):
+        (Tf, Cf), _ = R._blend_forward(txy, tconic, topac, trgb, lvalid,
+                                       pixf)
+        return jnp.sum(Cf * Cf) + 2.0 * jnp.sum(Tf)
+
+    gc = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(txy, tconic, topac,
+                                                     trgb)
+    ga = jax.grad(loss_auto, argnums=(0, 1, 2, 3))(txy, tconic, topac, trgb)
+    for name, x, y in zip(("xy", "conic", "opac", "rgb"), gc, ga):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+    # the forward outputs themselves agree
+    Tf1, Cf1 = R.blend_tiles(txy, tconic, topac, trgb, lvalid, pixf)
+    (Tf2, Cf2), _ = R._blend_forward(txy, tconic, topac, trgb, lvalid, pixf)
+    np.testing.assert_allclose(np.asarray(Tf1), np.asarray(Tf2), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Cf1), np.asarray(Cf2), atol=1e-7)
