@@ -32,7 +32,7 @@ def read_mesh_ply(path):
 
 
 def evaluate(est_mesh, gt_cloud, out_csv, n_points=10_000_000,
-             crop=False, downsample_voxel=0.0):
+             crop=False, downsample_voxel=0.0, error_map=""):
     verts, faces = read_mesh_ply(est_mesh)
     est = eval_utils.sample_mesh_points(verts, faces, n_points)
     gt, _ = read_points_ply(gt_cloud)
@@ -44,6 +44,14 @@ def evaluate(est_mesh, gt_cloud, out_csv, n_points=10_000_000,
         gt = eval_utils.voxel_downsample(gt, downsample_voxel)
     rows = eval_utils.evaluate_reconstruction(est, gt)
     eval_utils.write_csv(rows, out_csv)
+    if error_map:
+        # completeness error map (GT points colored by distance to the
+        # estimate, ref eval_utils.py:273-282, 309-352) + an error-colored
+        # copy of the estimated mesh
+        d_comp = eval_utils.nn_distances(gt, est)
+        eval_utils.save_error_map(gt, d_comp, error_map + "_complete.ply")
+        eval_utils.save_mesh_error_map(verts, faces, gt,
+                                       error_map + "_accuracy.ply")
     for r in rows:
         print(r)
     return rows
@@ -59,9 +67,11 @@ def run():
     ev.add_argument("--n-points", type=int, default=10_000_000)
     ev.add_argument("--crop", action="store_true")
     ev.add_argument("--downsample-voxel", type=float, default=0.0)
+    ev.add_argument("--error-map", default="",
+                    help="path prefix for error-colored PLY exports")
     args = ap.parse_args()
     evaluate(args.est_mesh, args.gt_cloud, args.out_csv, args.n_points,
-             args.crop, args.downsample_voxel)
+             args.crop, args.downsample_voxel, args.error_map)
 
 
 if __name__ == "__main__":

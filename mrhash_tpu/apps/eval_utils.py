@@ -91,3 +91,38 @@ def write_csv(rows, path):
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
         w.writerows(rows)
+
+
+def error_colormap(errors):
+    """colormap (ref eval_utils.py:300-306): white at 0 error -> red at max;
+    errors normalized to [0,1]."""
+    colors = np.zeros((len(errors), 3))
+    colors[:, 0] = 1.0
+    colors[:, 1] = 1.0 - errors
+    colors[:, 2] = 1.0 - errors
+    return colors
+
+
+def save_error_map(points, errors, path, clip=0.20):
+    """Per-point error-colored cloud (generate_save_error_map, ref
+    eval_utils.py:273-282): clip errors to [0, clip] m, normalize, colormap,
+    write a PLY."""
+    from mrhash_tpu.utils import plyio
+    e = np.clip(np.asarray(errors, np.float64), 0.0, clip) / clip
+    colors = (error_colormap(e) * 255.0).astype(np.uint8)
+    plyio.write_points_ply(path, np.asarray(points, np.float32),
+                           colors=colors)
+    return path
+
+
+def save_mesh_error_map(vertices, faces, gt_points, path, clip=0.10):
+    """Error-colored mesh (generate_mesh_error_map, ref eval_utils.py:
+    285-297): vertex colors from the vertex->GT nearest distances."""
+    from mrhash_tpu.utils import plyio
+    d = nn_distances(np.asarray(vertices, np.float64),
+                     np.asarray(gt_points, np.float64))
+    e = np.clip(d, 0.0, clip) / clip
+    colors = (error_colormap(e) * 255.0).astype(np.uint8)
+    plyio.write_mesh_ply(path, np.asarray(vertices, np.float32),
+                         np.asarray(faces, np.int32), colors=colors)
+    return path

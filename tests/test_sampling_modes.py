@@ -12,11 +12,11 @@ from mrhash_tpu.ops import camera as C
 ROWS, COLS = 48, 64
 
 
-def run(sample_mode):
+def run(sample_mode, interpret=False):
     cfg = MapConfig(virtual_voxel_size=0.05, sdf_truncation=0.15,
                     max_integration_distance=5.0, num_blocks=4096,
                     max_active_blocks=4096, max_alloc_per_frame=2048,
-                    sample_mode=sample_mode)
+                    sample_mode=sample_mode, pallas_interpret=interpret)
     cam = C.make_camera(fx=40.0, fy=40.0, cx=COLS / 2 - 0.5,
                         cy=ROWS / 2 - 0.5, rows=ROWS, cols=COLS,
                         min_depth=0.01, max_depth=5.0)
@@ -45,6 +45,17 @@ def _content(state):
 def test_patch_matches_gather():
     pg, sg, wg, cg = _content(run("gather"))
     pp, sp, wp, cp = _content(run("patch"))
+    assert np.array_equal(pg, pp)
+    assert np.array_equal(wg, wp)
+    assert np.allclose(sg, sp, atol=1e-6)
+    assert np.array_equal(cg, cp)
+
+
+def test_pallas_matches_gather():
+    """The production TPU default (sample_mode='pallas', geowrapper.py) run
+    through the kernel interpreter must bit-match the gather path."""
+    pg, sg, wg, cg = _content(run("gather"))
+    pp, sp, wp, cp = _content(run("pallas", interpret=True))
     assert np.array_equal(pg, pp)
     assert np.array_equal(wg, wp)
     assert np.allclose(sg, sp, atol=1e-6)
