@@ -392,42 +392,49 @@ def _block_voxel_grid(bpos, bres, lane0=None):
 def _scatter_block_rows(pool: VoxelPool, row, bres, bvalid, update_mask,
                         new, old, multires: bool = True, lane0=None):
     """Write per-block lane updates back to the pool the fast way:
-    whole-row scatters for res-0 blocks (their rows are unique), and for
-    res-1 blocks one 64-lane row scatter per CARVE POSITION (lane0/64 in
-    0..7): siblings sharing a row necessarily sit at distinct carve
-    positions, so each of the 8 scatters is conflict-free and row-granular
-    — an element-wise window scatter here would carry an A*512-element
-    source every call (~6 ms per 1M source elements on v5e, the round-2
-    multi-res 910 ms/frame pathology).  `new`/`old` are dicts of
-    [A,512(,3)] lane values in ROW layout (a res-1 block's 64 lanes sit at
-    [lane0, lane0+64)); update_mask [A,512] selects lanes to change.
+    whole-row scatter-SETs for res-0 blocks (their rows are unique), and
+    one whole-row scatter-ADD of window-masked deltas for res-1 blocks.
+    Sibling res-1 blocks share a pool row at disjoint 64-lane windows, so
+    a row scatter-set would clobber fresh sibling data — but adding
+    `new - old` confined to each entry's window composes exactly (at most
+    one sibling touches any lane; old is the shared pre-update row, so
+    old + (new - old) = new bit-exactly for ints and to 1 ulp for f32).
+    Row-granular scatters run near HBM bandwidth; every per-lane-indexed
+    formulation tried (element-wise window scatter, per-carve row-slice
+    loop, lax.scatter with dynamic (row, lane0) windows) pays the TPU
+    per-element scatter tax (~6-70 ms per 1M source elements — the 1.2
+    s/frame multi-res writeback pathology, measured all three ways).
+    `new`/`old` are dicts of [A,512] lane values in ROW layout (a res-1
+    block's 64 lanes sit at [lane0, lane0+64)); update_mask [A,512]
+    selects the lanes to change.
 
     multires=False (single-resolution configs, sdf_var_threshold == 0)
-    statically drops the res-1 passes: XLA:TPU may flatten lax.cond into
+    statically drops the res-1 pass: XLA:TPU may flatten lax.cond into
     both-branches+select, so even an always-false res-1 branch costs real
     scatter time."""
     n_rows = pool.sdf.shape[0]
     is0 = bvalid & ((bres == 0) if multires else True)
     row0 = jnp.where(is0, row, n_rows)
+    L1 = P.TOTAL_LOW_BLOCK_SIZE
     if multires:
         assert lane0 is not None, "multires scatter needs carve lane0"
         is1 = bvalid & (bres == 1)
-        carve = lane0 // P.TOTAL_LOW_BLOCK_SIZE
+        rows1 = jnp.where(is1, row, n_rows)
+        lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+        local = lanes - lane0[:, None]
+        win_upd = ((local >= 0) & (local < L1) & is1[:, None]
+                   & update_mask)
 
     out = {}
-    L1 = P.TOTAL_LOW_BLOCK_SIZE
     for name, new_vals in new.items():
-        m = (update_mask[..., None] if new_vals.ndim == 3 else update_mask)
-        full = jnp.where(m, new_vals, old[name])
+        assert new_vals.ndim == 2, "pool lanes are packed 2D"
+        full = jnp.where(update_mask, new_vals, old[name])
         arr = getattr(pool, name)
         arr = arr.at[row0].set(full, mode="drop", unique_indices=True)
         if multires:
-            for c in range(P.OCTREE_BRANCHING_FACTOR):
-                sel = is1 & (carve == c)
-                rows_c = jnp.where(sel, row, n_rows)
-                win = full[:, c * L1:(c + 1) * L1]
-                arr = arr.at[rows_c, c * L1:(c + 1) * L1].set(
-                    win, mode="drop", unique_indices=True)
+            zero = jnp.zeros((), arr.dtype)
+            delta = jnp.where(win_upd, new_vals - old[name], zero)
+            arr = arr.at[rows1].add(delta, mode="drop")
         out[name] = arr
     return pool.replace(**out)
 
@@ -1020,14 +1027,23 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     decide = (bvalid & (bres == 0) & (w_tot >= 2)
               & (avg_var > 0.0) & (avg_var < cfg.sdf_var_threshold))
 
-    # free the fine blocks
-    table, ptrs, fres, freed = H.free_slots(table, slots, decide)
-    pool = _clear_blocks(pool, ptrs, fres, freed)
-
-    # queue re-allocation at res+1 (bounded)
+    # serve at most max_coarsen_per_frame decisions per frame; the rest
+    # stay FINE and re-decide next frame (freeing beyond the re-alloc
+    # budget would drop their data without a coarse replacement)
     u = cfg.max_coarsen_per_frame
-    rank = jnp.cumsum(freed.astype(jnp.int32)) - 1
-    dest = jnp.where(freed & (rank < u), rank, u)
+    rank = jnp.cumsum(decide.astype(jnp.int32)) - 1
+    served = decide & (rank < u)
+
+    # free the served fine blocks; clear over a u-compacted view so the
+    # whole-row clear scatters carry O(u*512) sources, not O(A*512)
+    table, ptrs, fres, freed = H.free_slots(table, slots, served)
+    sel, selok, _ = H.compact_indices(freed, u)
+    safe_sel = jnp.where(selok, sel, 0)
+    pool = _clear_blocks(pool, jnp.where(selok, ptrs[safe_sel], 0),
+                         jnp.where(selok, fres[safe_sel], 0), selok)
+
+    # queue re-allocation at res+1 (freed implies rank < u)
+    dest = jnp.where(freed, rank, u)
     rkeys = jnp.zeros((u, 3), jnp.int32).at[dest].set(bpos, mode="drop")
     rvalid = jnp.zeros((u,), bool).at[dest].set(True, mode="drop")
 

@@ -1,0 +1,136 @@
+"""End-to-end reconstruction quality on a synthetic textured room at
+Replica intrinsics (VERDICT r1 weak #5): runner-equivalent frame loop ->
+extractMesh -> eval_reconstruction metrics vs the analytic room surface.
+
+The scene is the bench's pose-consistent 6 m box room (bench.py) observed
+over a full orbit at 1200x680 / 1 cm voxels / 7 cm truncation — the Replica
+protocol settings.  Ground truth is an analytic uniform sampling of the box
+walls.  Prints the metric rows and writes QUALITY.json at the repo root
+(Chamfer-L1 / F-score / accuracy / completeness, ref protocol
+apps/utils/eval_utils.py:8-139).
+
+`run_quality` is importable (tests/test_quality.py runs the small protocol
+in-suite with asserted thresholds).
+
+Usage: python tools/quality_eval.py [--frames N] [--res small|replica]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+PRESETS = dict(
+    # rows, cols, fx, voxel, truncation, num_blocks
+    replica=(680, 1200, 600.0, 0.01, 0.07, 1 << 19),
+    small=(120, 160, 80.0, 0.05, 0.15, 1 << 14),
+)
+
+
+def gt_box_points(half=3.0, n=2_000_000, seed=0):
+    """Uniform samples of the box surface [-half, half]^3 (6 faces)."""
+    rng = np.random.default_rng(seed)
+    face = rng.integers(0, 6, n)
+    u = rng.uniform(-half, half, n)
+    v = rng.uniform(-half, half, n)
+    s = np.where(face % 2 == 0, -half, half)
+    pts = np.empty((n, 3), np.float64)
+    ax = face // 2
+    for a in range(3):
+        m = ax == a
+        o1, o2 = (a + 1) % 3, (a + 2) % 3
+        pts[m, a] = s[m]
+        pts[m, o1] = u[m]
+        pts[m, o2] = v[m]
+    return pts
+
+
+def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
+                mesh_path="/tmp/quality_mesh.ply", write_json=True):
+    """Integrate a full orbit of the box room, extract the mesh, evaluate
+    vs analytic GT.  Returns the metric rows."""
+    from mrhash_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from bench import synthetic_room_depth
+    from mrhash_tpu.apps import eval_utils
+    from mrhash_tpu.apps.eval_reconstruction import read_mesh_ply
+    from mrhash_tpu.geowrapper import GeoWrapper
+    from mrhash_tpu.ops import camera as C
+
+    rows, cols, fx, vvs, trunc, num_blocks = PRESETS[res]
+
+    gw = GeoWrapper(sdf_truncation=trunc, sdf_truncation_scale=0.0,
+                    integration_weight_sample=1, virtual_voxel_size=vvs,
+                    n_frames_invalidate_voxels=0, voxel_extents_scale=1,
+                    gs_optimization_param_path="", num_blocks=num_blocks,
+                    min_weight_threshold=2)
+    gw.setCamera(fx, fx, cols / 2 - 0.5, rows / 2 - 0.5, rows, cols,
+                 0.01, 30.0)
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (rows, cols, 3)).astype(np.uint8)
+    n = frames
+    t0 = time.perf_counter()
+    for i in range(n):
+        th = 2.0 * np.pi * i / n
+        rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        t = np.array([0.05 * np.sin(th), 0.02 * np.cos(th), 0.0], np.float32)
+        q = _rot_to_quat(rot)
+        gw.setCurrPose(t, q)
+        cam = C.with_pose(gw.camera, rot, t)
+        depth = np.asarray(synthetic_room_depth(rows, cols, cam, rng))
+        gw.setDepthImage(depth)
+        gw.setRGBImage(rgb)
+        gw.compute()
+    print(f"# integrated {n} frames in {time.perf_counter()-t0:.1f}s, "
+          f"occupied {gw._last_occupied}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    gw.extractMesh(mesh_path)
+    print(f"# extractMesh took {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    verts, faces = read_mesh_ply(mesh_path)
+    est = eval_utils.sample_mesh_points(verts, faces, n_eval_points)
+    gt = gt_box_points(3.0, n_eval_points)
+    rows_m = eval_utils.evaluate_reconstruction(est, gt)
+    for r in rows_m:
+        print(json.dumps(r))
+    if write_json:
+        out = dict(scene="box_room_6m", resolution=f"{cols}x{rows}",
+                   voxel=vvs, frames=n, vertices=int(verts.shape[0]),
+                   metrics=rows_m)
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "QUALITY.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    return rows_m
+
+
+def _rot_to_quat(R):
+    w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+    if w > 1e-6:
+        x = (R[2, 1] - R[1, 2]) / (4 * w)
+        y = (R[0, 2] - R[2, 0]) / (4 * w)
+        z = (R[1, 0] - R[0, 1]) / (4 * w)
+    else:
+        x, y, z = 1.0, 0.0, 0.0
+    return np.array([x, y, z, w], np.float64)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--res", default="replica", choices=list(PRESETS))
+    ap.add_argument("--n-eval-points", type=int, default=2_000_000)
+    args = ap.parse_args()
+    run_quality(args.frames, args.res, args.n_eval_points)
+
+
+if __name__ == "__main__":
+    main()
