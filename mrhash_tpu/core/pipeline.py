@@ -67,21 +67,26 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
         # max_coarsen window)
         rcfg = (dataclasses.replace(cfg, sample_mode="pallas")
                 if cfg.sample_mode == "fused" else cfg)
+        decide = I.coarsen_decide(cfg, pool, bptr, bres, bvalid)
 
         def do_coarsen(table, pool):
             t, p, new_slots, new_mask = I.coarsen_by_variance(
-                cfg, table, pool, slots, bpos, bptr, bres, bvalid)
+                cfg, table, pool, slots, bpos, bptr, bres, bvalid,
+                decide=decide)
             p = I.reintegrate_blocks(rcfg, t, p, cam, pc_depth, rgb_img,
                                      new_slots, new_mask)
-            return t, p
+            # table changed: refresh the compacted window
+            return (t, p) + I.compact_active(cfg, t, cam)
 
         def skip(table, pool):
-            return table, pool
+            return (table, pool, slots, count, bpos, bptr, bres, bvalid)
 
-        table, pool = jax.lax.cond(state.frame > 0, do_coarsen, skip,
-                                   table, pool)
-        slots, count, bpos, bptr, bres, bvalid = I.compact_active(
-            cfg, table, cam)
+        # decide.any() gates the whole free/realloc/reintegrate/recompact
+        # chain: steady-state frames (nothing left to coarsen) pay only the
+        # variance scan (lax.cond branches are real on this path — measured)
+        (table, pool, slots, count, bpos, bptr, bres,
+         bvalid) = jax.lax.cond((state.frame > 0) & jnp.any(decide),
+                                do_coarsen, skip, table, pool)
 
     # --- garbage collection -------------------------------------------------
     if cfg.n_frames_invalidate_voxels > 0:
@@ -120,21 +125,28 @@ def integrate_points(cfg: MapConfig, state: MapState, cam: C.Camera,
     slots, count, bpos, bptr, bres, bvalid = I.compact_active(cfg, table)
     pool = I.integrate_points_sdf(cfg, table, state.pool, cam, points,
                                   normals, weights, point_valid,
-                                  num_voxel_steps, frame=state.frame)
+                                  num_voxel_steps, frame=state.frame,
+                                  window=(slots, bpos, bptr, bres, bvalid))
 
     if cfg.sdf_var_threshold > 0.0:
+        decide = I.coarsen_decide(cfg, pool, bptr, bres, bvalid)
+
         def do_coarsen(table, pool):
             t, p, new_slots, new_mask = I.coarsen_by_variance(
-                cfg, table, pool, slots, bpos, bptr, bres, bvalid)
+                cfg, table, pool, slots, bpos, bptr, bres, bvalid,
+                decide=decide)
             # NOTE: reference quirk preserved — the 3D reintegrate wrapper
             # launches the plain integrate kernel (voxel_data_structures.cu:
             # 1560-1580), which only touches frustum-projected voxels; for
             # the 3D path new coarse blocks are refilled on later frames.
-            return t, p
+            return (t, p) + I.compact_active(cfg, t)
 
-        table, pool = jax.lax.cond(state.frame > 0, do_coarsen,
-                                   lambda t, p: (t, p), table, pool)
-        slots, count, bpos, bptr, bres, bvalid = I.compact_active(cfg, table)
+        def skip(table, pool):
+            return (table, pool, slots, count, bpos, bptr, bres, bvalid)
+
+        (table, pool, slots, count, bpos, bptr, bres,
+         bvalid) = jax.lax.cond((state.frame > 0) & jnp.any(decide),
+                                do_coarsen, skip, table, pool)
 
     if cfg.n_frames_invalidate_voxels > 0:
         n = cfg.n_frames_invalidate_voxels

@@ -190,7 +190,7 @@ def fingerprint2(block_pos):
 
 
 def lookup_dedup(table: HashTable, keys, valid, scratch_size: int,
-                 frame_salt=None):
+                 frame_salt=None, slot_map=None):
     """lookup() with a dedup front-end for highly-duplicated key batches
     (the per-voxel LiDAR walk visits ~N*K keys but only ~occupied-blocks
     DISTINCT ones; probing every duplicate costs NUM_PROBES element gathers
@@ -199,11 +199,16 @@ def lookup_dedup(table: HashTable, keys, valid, scratch_size: int,
     Elect one representative per scratch cell (salted scatter, like
     dedup_candidates), probe-lookup only the <= scratch_size
     representatives, then map results back with TWO element gathers per key
-    (packed ptr/res/found + a secondary-fingerprint verify).  Distinct keys
+    (packed result + a secondary-fingerprint verify).  Distinct keys
     colliding in a cell resolve as not-found for the loser and rotate with
     the frame salt — the usual staggered-drop semantics.
 
-    Returns (found[M], ptr[M], res[M])."""
+    Without slot_map returns (found[M], ptr[M], res[M]).  With slot_map
+    (int32[capacity+1], hash slot -> caller index, -1 absent) the packed
+    lane carries (slot_map[slot], carve, res) instead of ptr and the
+    return is (found[M], wslot[M], lane0[M], res[M]) — saving the callers
+    that accumulate into a compacted window a full M-sized ptr->slot
+    gather."""
     M = keys.shape[0]
     fpk = fingerprint(keys).astype(jnp.uint32)
     salt = (jnp.uint32(0) if frame_salt is None
@@ -217,16 +222,26 @@ def lookup_dedup(table: HashTable, keys, valid, scratch_size: int,
     rvalid = scr >= 0
     ridx = jnp.where(rvalid, scr, 0)
     rkeys = keys[ridx]
-    f, _, p, r = lookup(table, rkeys, rvalid)
-    # pack (ptr, res, found) into one lane: ptr < num_blocks*512 < 2^29
-    pack = jnp.where(f, (p << 2) | (r << 1) | 1, 0)
+    f, s, p, r = lookup(table, rkeys, rvalid)
+    if slot_map is None:
+        # pack (ptr, res, found): ptr < num_blocks*512 < 2^29
+        pack = jnp.where(f, (p << 2) | (r << 1) | 1, 0)
+    else:
+        w = slot_map[jnp.where(f, s, slot_map.shape[0] - 1)]
+        carve = (p % jnp.int32(512)) // jnp.int32(64)
+        f = f & (w >= 0)
+        pack = jnp.where(f, (w << 5) | (carve << 2) | (r << 1) | 1, 0)
     rfp2 = jnp.where(rvalid, fingerprint2(rkeys), 0)
 
     my_pack = pack[cell]
     ok = valid & ((my_pack & 1) == 1) & (rfp2[cell] == fingerprint2(keys))
-    ptr = jnp.where(ok, my_pack >> 2, FREE)
     res = jnp.where(ok, (my_pack >> 1) & 1, 0)
-    return ok, ptr, res
+    if slot_map is None:
+        ptr = jnp.where(ok, my_pack >> 2, FREE)
+        return ok, ptr, res
+    wslot = jnp.where(ok, my_pack >> 5, 0)
+    lane0 = jnp.where(ok, ((my_pack >> 2) & 7) * 64, 0)
+    return ok, wslot, lane0, res
 
 
 def _heap_draw(heap, count, want_mask):

@@ -780,7 +780,8 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
 
 def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
                          cam: C.Camera, points, normals, weights,
-                         point_valid, num_steps: int, frame=None):
+                         point_valid, num_steps: int, frame=None,
+                         window=None):
     """integrate3DKernel (voxel_data_structures.cu:1214-1401): per-point DDA
     over the *voxel* grid in the truncation band; each visited allocated
     voxel gets a projective (range difference) or point-to-plane SDF update.
@@ -792,6 +793,13 @@ def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
 
     `weights` are accepted for API parity; like the reference (:1330-1338,
     adaptive weighting commented out) they do not affect the update.
+
+    `window` = (slots, bpos, bptr, bres, bvalid) from compact_active:
+    contributions are accumulated into the [A,512] compacted-window rows
+    and merged with row gathers/scatters — O(active blocks), not O(pool
+    capacity) (the full-pool flat merge read+wrote every voxel lane of a
+    2^18-block pool, ~19 ms/frame of the round-2 LiDAR bench).  Without a
+    window the legacy full-pool path runs.
     """
     vvs = cfg.virtual_voxel_size
     rng = jnp.linalg.norm(points, axis=-1)
@@ -821,11 +829,24 @@ def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     # collapse to ~occupied-blocks distinct ones
     blk = X.virtual_voxel_pos_to_sdf_block(
         vox, vvs, jnp.asarray(cfg.voxel_extents, jnp.float32))
-    found, eptr, eres = H.lookup_dedup(
-        table, blk.reshape(-1, 3), visit.reshape(-1),
-        cfg.lookup_dedup_scratch, frame_salt=frame)
+    if window is not None:
+        wslots, bpos, bptr, bres, bvalid = window
+        A = bpos.shape[0]
+        cap = table.capacity
+        slot_map = jnp.full((cap + 1,), -1, jnp.int32).at[
+            jnp.where(bvalid, wslots, cap)].set(
+            jnp.arange(A, dtype=jnp.int32), mode="drop")
+        found, ewslot, elane0, eres = H.lookup_dedup(
+            table, blk.reshape(-1, 3), visit.reshape(-1),
+            cfg.lookup_dedup_scratch, frame_salt=frame, slot_map=slot_map)
+        ewslot = ewslot.reshape(visit.shape)
+        elane0 = elane0.reshape(visit.shape)
+    else:
+        found, eptr, eres = H.lookup_dedup(
+            table, blk.reshape(-1, 3), visit.reshape(-1),
+            cfg.lookup_dedup_scratch, frame_salt=frame)
+        eptr = eptr.reshape(visit.shape)
     found = found.reshape(visit.shape)
-    eptr = eptr.reshape(visit.shape)
     eres = eres.reshape(visit.shape)
 
     # per-contribution SDF (snapped to the voxel's resolution center,
@@ -853,9 +874,44 @@ def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     side = P.SDF_BLOCK_SIZE // scale
     lane = (local[..., 2] * side * side + local[..., 1] * side
             + local[..., 0])
-    vidx = eptr + lane
 
     w_up = jnp.float32(cfg.integration_weight_sample)
+    half_voxel = jnp.float32(vvs / 2.0)
+
+    if window is not None:
+        # accumulate into the [A,512] window rows (ROW layout: a res-1
+        # block's lanes sit at [lane0, lane0+64))
+        acc_idx = jnp.where(contrib, ewslot * LANES + elane0 + lane,
+                            A * LANES).reshape(-1)
+        acc_w = jnp.zeros((A * LANES,), jnp.float32).at[acc_idx].add(
+            jnp.where(contrib, w_up, 0.0).reshape(-1),
+            mode="drop").reshape(A, LANES)
+        acc_sw = jnp.zeros((A * LANES,), jnp.float32).at[acc_idx].add(
+            jnp.where(contrib, sdf * w_up, 0.0).reshape(-1),
+            mode="drop").reshape(A, LANES)
+
+        prow_w, lane0_w = _block_rows(bptr, bvalid)
+        sdf0 = pool.sdf[prow_w]
+        ssq0 = pool.sumsq[prow_w]
+        w0 = pool.weight[prow_w]
+        hit = (acc_w > 0) & bvalid[:, None]
+        batch_sdf = acc_sw / jnp.where(hit, acc_w, 1.0)
+        # 3D kernel quirk kept: curr_mean stays 0 for never-touched voxels
+        curr_mean = jnp.where(w0 > 0, sdf0, 0.0)
+        delta = (batch_sdf - curr_mean) / half_voxel
+        w0f = w0.astype(jnp.float32)
+        m_sdf = (sdf0 * w0f + acc_sw) / jnp.maximum(w0f + acc_w, 1e-20)
+        m_w = jnp.minimum(cfg.integration_weight_max,
+                          w0 + acc_w.astype(jnp.int32))
+        delta2 = (batch_sdf - m_sdf) / half_voxel
+        m_ssq = ssq0 + delta * delta2
+        return _scatter_block_rows(
+            pool, prow_w, bres, bvalid, hit,
+            dict(sdf=m_sdf, weight=m_w, sumsq=m_ssq),
+            dict(sdf=sdf0, weight=w0, sumsq=ssq0),
+            multires=cfg.sdf_var_threshold > 0.0, lane0=lane0_w)
+
+    vidx = eptr + lane
     flat_idx = jnp.where(contrib, vidx, pool.num_voxels).reshape(-1)
     nv = pool.num_voxels
     acc_w = jnp.zeros((nv,), jnp.float32).at[flat_idx].add(
@@ -867,7 +923,6 @@ def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     batch_sdf = acc_sw / jnp.where(hit, acc_w, 1.0)
     w0 = pool.flat_weight
     sdf0 = pool.flat_sdf
-    half_voxel = jnp.float32(vvs / 2.0)
     # 3D kernel quirk kept: curr_mean stays 0 for never-touched voxels
     curr_mean = jnp.where(w0 > 0, sdf0, 0.0)
     delta = (batch_sdf - curr_mean) / half_voxel
@@ -1006,15 +1061,12 @@ def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
 # variance-adaptive coarsening (multi-resolution)
 # ---------------------------------------------------------------------------
 
-def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
-                        slots, bpos, bptr, bres, bvalid):
-    """checkVarSDFKernel + reallocBlocks (voxel_data_structures.cu:
-    1856-2069): res-0 blocks whose average SDF variance is below threshold
-    are freed and re-allocated at res 1 (drawing from the low heap, refilled
-    by splitting high blocks when short).
-
-    Returns (table', pool', new_slots[u], new_mask[u]) — the re-allocated
-    coarse blocks to re-integrate."""
+def coarsen_decide(cfg: MapConfig, pool: VoxelPool, bptr, bres, bvalid):
+    """checkVarSDFKernel decision mask (voxel_data_structures.cu:1856-1905):
+    res-0 blocks whose average SDF variance is positive and below threshold.
+    Cheap (two row gathers + reductions) — the expensive free/realloc/
+    reintegrate applies under a lax.cond on decide.any(), so steady-state
+    frames (nothing left to coarsen) skip it entirely."""
     prow, _ = _block_rows(bptr, bvalid)
     w = pool.weight[prow]
     ssq = pool.sumsq[prow]
@@ -1024,8 +1076,21 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     w_tot = jnp.sum(wf, axis=1)
     ssq_tot = jnp.sum(ssqf, axis=1)
     avg_var = ssq_tot / jnp.maximum(w_tot - 1.0, 1e-12)
-    decide = (bvalid & (bres == 0) & (w_tot >= 2)
-              & (avg_var > 0.0) & (avg_var < cfg.sdf_var_threshold))
+    return (bvalid & (bres == 0) & (w_tot >= 2)
+            & (avg_var > 0.0) & (avg_var < cfg.sdf_var_threshold))
+
+
+def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
+                        slots, bpos, bptr, bres, bvalid, decide=None):
+    """checkVarSDFKernel + reallocBlocks (voxel_data_structures.cu:
+    1856-2069): res-0 blocks whose average SDF variance is below threshold
+    are freed and re-allocated at res 1 (drawing from the low heap, refilled
+    by splitting high blocks when short).
+
+    Returns (table', pool', new_slots[u], new_mask[u]) — the re-allocated
+    coarse blocks to re-integrate."""
+    if decide is None:
+        decide = coarsen_decide(cfg, pool, bptr, bres, bvalid)
 
     # serve at most max_coarsen_per_frame decisions per frame; the rest
     # stay FINE and re-decide next frame (freeing beyond the re-alloc

@@ -313,7 +313,9 @@ def sharded_integrate_points(cfg: MapConfig, mesh: Mesh):
         slots, count, bpos, bptr, bres, bvalid = I.compact_active(lcfg, table)
         pool = I.integrate_points_sdf(lcfg, table, pool, cam, points,
                                       normals, weights, point_valid,
-                                      num_voxel_steps, frame=frame)
+                                      num_voxel_steps, frame=frame,
+                                      window=(slots, bpos, bptr, bres,
+                                              bvalid))
 
         if cfg.sdf_var_threshold > 0.0:
             def do_coarsen(table, pool):

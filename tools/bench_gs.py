@@ -1,0 +1,183 @@
+"""Online-GS benchmark at reference resolution (VERDICT r1 item 4).
+
+Measures, at 1200x680 on the real device:
+- one online-GS frame (qtree seed + kf_iters Adam steps, the runGS path of
+  gaussian_data_structures.cpp:138-156) after warmup;
+- PSNR on the training view after a short refinement run (the repo tracks
+  PSNR; BASELINE.md has no published reference value);
+- max_per_tile cap sensitivity (64/128/256 vs a 512 reference render):
+  mean-abs image delta (dropped contribution mass) + per-render time.
+
+Writes BENCH_GS.json at the repo root.  Usage: python tools/bench_gs.py
+[--rows 680 --cols 1200] [--train-iters 60]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def texture_rgb(pts_w):
+    """Multi-view-consistent procedural texture: RGB from world position."""
+    x, y, z = pts_w[..., 0], pts_w[..., 1], pts_w[..., 2]
+    r = 0.5 + 0.45 * np.sin(2.1 * x) * np.cos(1.3 * y)
+    g = 0.5 + 0.45 * np.sin(1.7 * y + 0.8) * np.cos(2.3 * z)
+    b = 0.5 + 0.45 * np.sin(1.1 * z + 1.9) * np.cos(1.9 * x)
+    return (np.stack([r, g, b], -1) * 255.0).astype(np.uint8)
+
+
+def scene_frame(rows, cols, cam, rng):
+    """Depth + texture-consistent RGB of the 6 m box room."""
+    import jax.numpy as jnp
+
+    from bench import synthetic_room_depth
+    from mrhash_tpu.ops import camera as C
+    depth = synthetic_room_depth(rows, cols, cam, rng)
+    r = jnp.arange(rows, dtype=jnp.float32)[:, None]
+    c = jnp.arange(cols, dtype=jnp.float32)[None, :]
+    pts = C.cam_to_world(cam, C.inverse_projection(
+        cam, jnp.broadcast_to(r, (rows, cols)),
+        jnp.broadcast_to(c, (rows, cols)), depth))
+    rgb = texture_rgb(np.asarray(pts))
+    return np.asarray(depth), rgb
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=680)
+    ap.add_argument("--cols", type=int, default=1200)
+    ap.add_argument("--train-iters", type=int, default=60)
+    args = ap.parse_args()
+    rows, cols = args.rows, args.cols
+
+    from mrhash_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mrhash_tpu.gs import losses
+    from mrhash_tpu.gs.container import GaussianContainer, _cam_dict
+    from mrhash_tpu.gs.rasterizer import render
+    from mrhash_tpu.geowrapper import GeoWrapper
+    from mrhash_tpu.ops import camera as C
+
+    fx = 600.0 * cols / 1200.0
+    gw = GeoWrapper(sdf_truncation=0.15, sdf_truncation_scale=0.0,
+                    integration_weight_sample=1, virtual_voxel_size=0.05,
+                    n_frames_invalidate_voxels=0, voxel_extents_scale=1,
+                    gs_optimization_param_path="", num_blocks=1 << 15)
+    gw.setCamera(fx, fx, cols / 2 - 0.5, rows / 2 - 0.5, rows, cols,
+                 0.01, 30.0)
+    gc = GaussianContainer("", capacity=1 << 18)
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(2):
+        th = 0.15 * i
+        rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        t = np.array([0.05 * i, 0.0, 0.0], np.float32)
+        cam = C.with_pose(gw.camera, jnp.asarray(rot), jnp.asarray(t))
+        depth, rgb = scene_frame(rows, cols, cam, rng)
+        frames.append((rot, t, cam, depth, rgb))
+
+    recs = []
+    # ---- map integration so check_nodes sees weight==1 voxels ------------
+    for rot, t, cam, depth, rgb in frames:
+        gw.setCurrPose(t, _rot_to_quat(rot))
+        gw.setDepthImage(depth)
+        gw.setRGBImage(rgb)
+        gw.compute()
+
+    # ---- online GS frame: warmup (compiles) then timed --------------------
+    rot, t, cam0, depth0, rgb0 = frames[0]
+    gc.run_gs(gw.cfg, cam0, gw.state, rgb0, depth0)   # warmup + seed
+    jax.block_until_ready(gc.model.params["xyz"])
+    n0 = gc.model.count
+    rot, t, cam1, depth1, rgb1 = frames[1]
+    t0 = time.perf_counter()
+    gc.run_gs(gw.cfg, cam1, gw.state, rgb1, depth1)
+    jax.block_until_ready(gc.model.params["xyz"])
+    dt = (time.perf_counter() - t0) * 1e3
+    print(f"# gs frame: {dt:.1f} ms (seed {gc.model.count - n0} new, "
+          f"total {gc.model.count} gaussians, kf_iters {gc.p.kf_iters})",
+          file=sys.stderr)
+    recs.append({"metric": f"gs_online_frame_ms_{cols}x{rows}",
+                 "value": round(dt, 1), "unit": "ms",
+                 "vs_baseline": None})
+
+    # ---- short refinement + PSNR on the training view ---------------------
+    m = gc.model
+    step = gc._train_step_fn(rows, cols)
+    cam_d = _cam_dict(cam1)
+    gt = jnp.clip(jnp.asarray(rgb1, jnp.float32).transpose(2, 0, 1) / 255.0,
+                  0.0, 1.0)
+    t0 = time.perf_counter()
+    for _ in range(args.train_iters):
+        m.params, m.opt_state, loss = step(m.params, m.opt_state, m.count,
+                                           cam_d, gt)
+    jax.block_until_ready(m.params["xyz"])
+    it_ms = (time.perf_counter() - t0) * 1e3 / args.train_iters
+    img = gc.render_view(cam1)
+    ps = float(losses.psnr(img, gt))
+    print(f"# refinement: {it_ms:.1f} ms/iter, PSNR {ps:.2f} dB after "
+          f"{args.train_iters} iters", file=sys.stderr)
+    recs.append({"metric": f"gs_adam_iter_ms_{cols}x{rows}",
+                 "value": round(it_ms, 1), "unit": "ms",
+                 "vs_baseline": None})
+    recs.append({"metric": f"gs_psnr_train_view_{cols}x{rows}",
+                 "value": round(ps, 2), "unit": "dB", "vs_baseline": None})
+
+    # ---- max_per_tile cap sensitivity -------------------------------------
+    active = m.active_mask
+    cd = dict(cam_d, W=cols, H=rows)
+    ref_img, _ = jax.jit(lambda p: render(p, active, cd, m.background,
+                                          gc.p.sh_degree,
+                                          max_per_tile=512))(m.params)
+    ref_img = jax.block_until_ready(ref_img)
+    for cap in (64, 128, 256):
+        f = jax.jit(lambda p: render(p, active, cd, m.background,
+                                     gc.p.sh_degree, max_per_tile=cap))
+        img_c, _ = f(m.params)
+        jax.block_until_ready(img_c)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            img_c, _ = f(m.params)
+        img_c = jax.block_until_ready(img_c)
+        fwd_ms = (time.perf_counter() - t0) * 1e3 / 5
+        delta = float(jnp.mean(jnp.abs(img_c - ref_img)))
+        print(f"# cap {cap}: fwd {fwd_ms:.1f} ms, mean|dC| vs 512 = "
+              f"{delta:.2e}", file=sys.stderr)
+        recs.append({"metric": f"gs_cap{cap}_mean_abs_delta_vs_512",
+                     "value": delta, "unit": "intensity",
+                     "vs_baseline": None})
+        recs.append({"metric": f"gs_cap{cap}_forward_ms",
+                     "value": round(fwd_ms, 1), "unit": "ms",
+                     "vs_baseline": None})
+
+    for r in recs:
+        print(json.dumps(r))
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "BENCH_GS.json"), "w") as f:
+        json.dump(recs, f, indent=1)
+
+
+def _rot_to_quat(R):
+    w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+    if w > 1e-6:
+        x = (R[2, 1] - R[1, 2]) / (4 * w)
+        y = (R[0, 2] - R[2, 0]) / (4 * w)
+        z = (R[1, 0] - R[0, 1]) / (4 * w)
+    else:
+        x, y, z = 1.0, 0.0, 0.0
+    return np.array([x, y, z, w], np.float64)
+
+
+if __name__ == "__main__":
+    main()

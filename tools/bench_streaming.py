@@ -1,0 +1,134 @@
+"""Streaming throughput benchmark (VERDICT r1 item 8).
+
+Fills a 2^19-block map (80^3 block cube), then measures:
+- streamAllOut: ms/pass + blocks/s (device -> host chunk grid),
+- streamIn: blocks/s re-inserting the full grid,
+- a radius `stream` (evict far / reload near) round trip;
+each at two staging sizes to expose the dispatch-count scaling the round-1
+VERDICT flagged (weak #8: hundreds of serialized dispatches at 2^10
+staging).  Reference protocol: pinned-memory staging passes,
+streamer.cpp:249-281, 357-378.
+
+Writes BENCH_STREAMING.json at the repo root.
+Usage: python tools/bench_streaming.py [--side 80] [--staging 4096 32768]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", type=int, default=80,
+                    help="block cube side (side^3 blocks)")
+    ap.add_argument("--staging", type=int, nargs="+",
+                    default=[1 << 12, 1 << 15])
+    args = ap.parse_args()
+
+    from mrhash_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mrhash_tpu.core.state import MapConfig, make_state
+    from mrhash_tpu.core.streaming import Streamer
+    from mrhash_tpu.ops import hashtable as H
+
+    side = args.side
+    n_total = side ** 3
+    num_blocks = 1 << max(19, (n_total - 1).bit_length())
+    cfg = MapConfig(virtual_voxel_size=0.05, sdf_truncation=0.15,
+                    sdf_truncation_scale=0.0, integration_weight_sample=1,
+                    max_integration_distance=30.0,
+                    n_frames_invalidate_voxels=0,
+                    num_blocks=num_blocks, max_active_blocks=1 << 12,
+                    max_alloc_per_frame=1 << 12)
+
+    # all block positions of a centred cube
+    ax = np.arange(side, dtype=np.int32) - side // 2
+    pos = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+
+    recs = []
+    for staging in args.staging:
+        state = make_state(cfg.num_blocks)
+        sm = Streamer(cfg, staging)
+
+        # fill the device hash in batches (payloads stay zero; the pack /
+        # unpack cost is payload-size-independent)
+        B = 1 << 15
+        ins = jax.jit(
+            lambda t, p, v: H.insert(
+                t, p, v, jnp.zeros(p.shape[:1], jnp.int32))[0],
+            donate_argnums=(0,))
+        table = state.table
+        for off in range(0, n_total, B):
+            batch = np.zeros((B, 3), np.int32)
+            v = np.zeros((B,), bool)
+            cnt = min(B, n_total - off)
+            batch[:cnt] = pos[off:off + cnt]
+            v[:cnt] = True
+            table = ins(table, jnp.asarray(batch), jnp.asarray(v))
+        state = state.replace(table=jax.block_until_ready(table))
+        n_dev = int(np.sum(np.asarray(state.table.ptr) != -1))
+        print(f"# staging {staging}: {n_dev} blocks resident",
+              file=sys.stderr)
+
+        # -- streamAllOut ----------------------------------------------------
+        t0 = time.perf_counter()
+        state = sm.stream_all_out(state)
+        dt = time.perf_counter() - t0
+        n_host = sm.grid.num_blocks()
+        passes = -(-n_total // staging)
+        bs_out = n_host / dt
+        print(f"#   streamAllOut: {dt:.2f}s, {passes} passes "
+              f"({dt / passes * 1e3:.1f} ms/pass), {bs_out:,.0f} blocks/s",
+              file=sys.stderr)
+        recs.append({"metric": f"stream_all_out_blocks_per_s_stage{staging}",
+                     "value": round(bs_out), "unit": "blocks/s",
+                     "vs_baseline": None})
+        recs.append({"metric": f"stream_out_ms_per_pass_stage{staging}",
+                     "value": round(dt / passes * 1e3, 1), "unit": "ms",
+                     "vs_baseline": None})
+
+        # -- streamIn (reload everything) -------------------------------------
+        radius = side * 8 * cfg.virtual_voxel_size * 2.0
+        t0 = time.perf_counter()
+        state = sm.stream_in(state, np.zeros(3), radius)
+        dt = time.perf_counter() - t0
+        n_back = int(np.sum(np.asarray(state.table.ptr) != -1))
+        bs_in = n_back / dt
+        print(f"#   streamIn: {dt:.2f}s, {bs_in:,.0f} blocks/s "
+              f"({n_back} back, {sm.grid.num_blocks()} left in RAM)",
+              file=sys.stderr)
+        recs.append({"metric": f"stream_in_blocks_per_s_stage{staging}",
+                     "value": round(bs_in), "unit": "blocks/s",
+                     "vs_baseline": None})
+
+        # -- radius stream round trip -----------------------------------------
+        half_r = side * 8 * cfg.virtual_voxel_size * 0.25
+        t0 = time.perf_counter()
+        state = sm.stream(state, np.zeros(3), half_r)
+        dt = time.perf_counter() - t0
+        print(f"#   stream(r={half_r:.1f}m): {dt:.2f}s "
+              f"({sm.grid.num_blocks()} in RAM)", file=sys.stderr)
+        recs.append({"metric": f"stream_radius_s_stage{staging}",
+                     "value": round(dt, 2), "unit": "s",
+                     "vs_baseline": None})
+        del state, sm
+
+    for r in recs:
+        print(json.dumps(r))
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "BENCH_STREAMING.json"), "w") as f:
+        json.dump(recs, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
