@@ -128,9 +128,14 @@ class GaussianContainer:
                       0.0, 1.0)
 
         leaves, leaf_valid, _, _ = self._qtree(rgb)
-        centers, colors, scales, ok = check_nodes(
-            cfg, state.table, state.pool, cam, leaves, leaf_valid, depth,
-            rgb)
+        # jit keyed by image shape: eager per-op dispatch of the probe loop
+        # costs seconds per frame over a remote-device link
+        key = rgb.shape[:2]
+        if key not in self._check_nodes_jit:
+            self._check_nodes_jit[key] = jax.jit(functools.partial(
+                check_nodes, cfg))
+        centers, colors, scales, ok = self._check_nodes_jit[key](
+            state.table, state.pool, cam, leaves, leaf_valid, depth, rgb)
         okh = np.asarray(ok)
         n_valid = int(okh.sum())
         if n_valid:

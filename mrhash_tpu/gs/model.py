@@ -48,21 +48,19 @@ def inverse_sigmoid(x):
 
 
 class GaussianModel:
+    """Grows its parameter arrays in power-of-2 buckets up to `capacity`
+    (the reference preallocates max capacity, gaussian.cu:104-145; here a
+    static max would make every render sort capacity*64 tile pairs — the
+    sort is the rasterizer's floor, so array size tracks the live count)."""
+
     def __init__(self, optim_params: OptimizationParams,
-                 capacity: int = 1 << 20):
+                 capacity: int = 1 << 20, initial_size: int = 1 << 12):
         self.p = optim_params
         self.capacity = int(capacity)
+        self.size = min(int(initial_size), self.capacity)
         d = self.p.sh_degree
         self.n_rest = (d + 1) ** 2 - 1
-        cap = self.capacity
-        self.params = dict(
-            xyz=jnp.zeros((cap, 3), jnp.float32),
-            scaling=jnp.zeros((cap, 3), jnp.float32),
-            rotation=jnp.zeros((cap, 4), jnp.float32).at[:, 0].set(1.0),
-            opacity=jnp.zeros((cap, 1), jnp.float32),
-            f_dc=jnp.zeros((cap, 1, 3), jnp.float32),
-            f_rest=jnp.zeros((cap, self.n_rest, 3), jnp.float32),
-        )
+        self.params = self._zero_params(self.size)
         self.count = 0
         self.background = jnp.zeros((3,), jnp.float32)
         # per-group Adam with the reference's lrs (gaussian.cu:215-238)
@@ -75,9 +73,76 @@ class GaussianModel:
             {k: k for k in self.params})
         self.opt_state = self.tx.init(self.params)
 
+    def _zero_params(self, n):
+        return dict(
+            xyz=jnp.zeros((n, 3), jnp.float32),
+            scaling=jnp.zeros((n, 3), jnp.float32),
+            rotation=jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0),
+            opacity=jnp.zeros((n, 1), jnp.float32),
+            f_dc=jnp.zeros((n, 1, 3), jnp.float32),
+            f_rest=jnp.zeros((n, self.n_rest, 3), jnp.float32),
+        )
+
+    def _grow(self, needed):
+        """Double the bucket until `needed` fits; Adam moments pad with
+        zeros (identical to a fresh init for the new slots)."""
+        new = self.size
+        while new < needed:
+            new *= 2
+        new = min(new, self.capacity)
+        if new == self.size:
+            return
+        old = self.size
+
+        def pad(x):
+            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == old:
+                return jnp.concatenate(
+                    [x, jnp.zeros((new - old,) + x.shape[1:], x.dtype)])
+            return x
+        self.params = {k: pad(v) for k, v in self.params.items()}
+        # keep the identity-quat fill for unused rotation slots
+        self.params["rotation"] = self.params["rotation"].at[old:, 0].set(1.0)
+        self.opt_state = jax.tree.map(pad, self.opt_state)
+        self.size = new
+
     @property
     def active_mask(self):
-        return jnp.arange(self.capacity) < self.count
+        return jnp.arange(self.size) < self.count
+
+    def _insert_fn(self, pad):
+        """One jitted padded insert per pad bucket: the previous per-call
+        eager `.at[count:count+n]` updates re-specialized (remote-compiled)
+        on every distinct n, costing seconds per frame on the axon link."""
+        if not hasattr(self, "_insert_jit"):
+            self._insert_jit = {}
+        key = (pad, self.size)
+        if key not in self._insert_jit:
+            cap = self.size
+            n_rest = self.n_rest
+
+            @jax.jit
+            def ins(params, pos, col, sc, count, n):
+                lanes = jnp.arange(pad)
+                dest = jnp.where(lanes < n, count + lanes, cap)
+                fused = rgb2sh(col.astype(jnp.float32) / 255.0)
+                rot0 = jnp.broadcast_to(
+                    jnp.array([1.0, 0, 0, 0], jnp.float32), (pad, 4))
+                op0 = jnp.full((pad, 1), inverse_sigmoid(jnp.float32(0.5)))
+                out = dict(params)
+                out["xyz"] = params["xyz"].at[dest].set(pos, mode="drop")
+                out["scaling"] = params["scaling"].at[dest].set(
+                    jnp.log(sc)[:, None].repeat(3, 1), mode="drop")
+                out["rotation"] = params["rotation"].at[dest].set(
+                    rot0, mode="drop")
+                out["opacity"] = params["opacity"].at[dest].set(
+                    op0, mode="drop")
+                out["f_dc"] = params["f_dc"].at[dest].set(
+                    fused[:, None, :], mode="drop")
+                out["f_rest"] = params["f_rest"].at[dest].set(
+                    jnp.zeros((pad, n_rest, 3), jnp.float32), mode="drop")
+                return out
+            self._insert_jit[key] = ins
+        return self._insert_jit[key]
 
     def add_gaussians(self, positions, colors_u8, scales):
         """Add_gaussians (gaussian.cu:147-211): new slots initialized with
@@ -93,18 +158,21 @@ class GaussianModel:
                 return
             positions, colors_u8, scales = (positions[:n], colors_u8[:n],
                                             scales[:n])
-        sl = slice(self.count, self.count + n)
-        p = self.params
-        fused = rgb2sh(jnp.asarray(colors_u8, jnp.float32) / 255.0)
-        p["xyz"] = p["xyz"].at[sl].set(jnp.asarray(positions, jnp.float32))
-        p["scaling"] = p["scaling"].at[sl].set(
-            jnp.log(jnp.asarray(scales, jnp.float32))[:, None].repeat(3, 1))
-        p["rotation"] = p["rotation"].at[sl].set(
-            jnp.asarray([1.0, 0, 0, 0], jnp.float32))
-        p["opacity"] = p["opacity"].at[sl].set(
-            inverse_sigmoid(jnp.float32(0.5)))
-        p["f_dc"] = p["f_dc"].at[sl].set(fused[:, None, :])
-        p["f_rest"] = p["f_rest"].at[sl].set(0.0)
+        self._grow(self.count + n)
+        # pad to a power-of-4 bucket: bounded compile count, static shapes
+        pad = 256
+        while pad < n:
+            pad *= 4
+        import numpy as _np
+        pos_p = _np.zeros((pad, 3), _np.float32)
+        pos_p[:n] = positions
+        col_p = _np.zeros((pad, 3), _np.float32)
+        col_p[:n] = colors_u8
+        sc_p = _np.ones((pad,), _np.float32)
+        sc_p[:n] = scales
+        self.params = self._insert_fn(pad)(
+            self.params, jnp.asarray(pos_p), jnp.asarray(col_p),
+            jnp.asarray(sc_p), jnp.int32(self.count), jnp.int32(n))
         self.count += n
 
     def save_ply(self, path, iteration=0):
