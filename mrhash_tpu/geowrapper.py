@@ -394,6 +394,9 @@ class GeoWrapper:
             self.gs_container.run_gs(self.cfg, cam, self.state,
                                      self._rgb_img, self._depth_img)
 
+        if self.viewer_active:
+            self._viewer_mesh_tick()
+
     # ------------------------------------------------------------------ meshing
     @functools.lru_cache(maxsize=4)
     def _jit_extract(self, max_cells, max_triangles):
@@ -403,14 +406,46 @@ class GeoWrapper:
                                          max_triangles)
         return jax.jit(fn)
 
-    def _extract_resident(self, max_cells=1 << 16, max_triangles=1 << 18):
+    def _extract_resident(self, max_cells=1 << 16, max_triangles=1 << 18,
+                          state=None):
         """MeshExtractor::extractMesh on all resident blocks."""
+        state = self.state if state is None else state
         slots, count, bpos, bptr, bres, bvalid = I.compact_active(
-            self.cfg, self.state.table)
+            self.cfg, state.table)
         tri_pos, tri_col, n = self._jit_extract(max_cells, max_triangles)(
-            self.state.table, self.state.pool, bpos, bptr, bres, bvalid)
+            state.table, state.pool, bpos, bptr, bres, bvalid)
         n = int(n)
         return np.asarray(tri_pos[:n]), np.asarray(tri_col[:n])
+
+    # ---- viewer mesh thread (mesh_extractor.cpp:78-92) --------------------
+    def _viewer_mesh_tick(self):
+        """With viewer_active, refresh the renderable mesh in the
+        background from the RESIDENT map after each frame (the reference's
+        viewer thread re-extracts on demand).  jax arrays are immutable, so
+        the captured state is a free consistent snapshot; the chunk-sweep
+        extractMesh stays synchronous because it mutates streaming state."""
+        fut = getattr(self, "_viewer_future", None)
+        if fut is not None and not fut.done():
+            return
+        state = self.state
+
+        def work():
+            tri_pos, tri_col = self._extract_resident(state=state)
+            m = mesh_post.MeshAccumulator()
+            if tri_pos.shape[0]:
+                m.add_triangles(tri_pos, tri_col)
+            self.viewer_mesh = m
+
+        self._viewer_future = self._prewarm_pool.submit(work)
+
+    def getViewerMesh(self):
+        """Latest background-extracted mesh (empty until the first tick
+        finishes)."""
+        fut = getattr(self, "_viewer_future", None)
+        if fut is not None:
+            fut.result()  # surface worker exceptions; waits first tick
+        return getattr(self, "viewer_mesh",
+                       mesh_post.MeshAccumulator())
 
     def extractMesh(self, filename: str):
         """Chunk-sweep mesh extraction + ASCII PLY

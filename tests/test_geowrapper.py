@@ -155,3 +155,23 @@ def test_bucket_prewarm_compiles_next_bucket():
     keys = [k for k in gw._aot_cache if k[0] == "rgbd"
             and k[1] == next_bucket]
     assert keys, (next_bucket, list(gw._aot_cache))
+
+
+def test_viewer_active_background_mesh():
+    """viewer_active spawns a background resident-mesh refresh each frame
+    (ref mesh_extractor.cpp:78-92); getViewerMesh returns the extracted
+    triangles without running the chunk-sweep extractMesh."""
+    from mrhash_tpu.geowrapper import GeoWrapper
+    gw = GeoWrapper(sdf_truncation=0.15, sdf_truncation_scale=0.0,
+                    integration_weight_sample=1, virtual_voxel_size=0.05,
+                    n_frames_invalidate_voxels=0, voxel_extents_scale=1,
+                    gs_optimization_param_path="", num_blocks=1 << 12,
+                    max_active_blocks=1 << 11, max_alloc_per_frame=1 << 11,
+                    viewer_active=True)
+    gw.setCamera(40.0, 40.0, 31.5, 23.5, 48, 64, 0.01, 8.0)
+    gw.setCurrPose([0, 0, 0], [0, 0, 0, 1])
+    gw.setDepthImage(np.full((48, 64), 2.0, np.float32))
+    gw.setRGBImage(np.full((48, 64, 3), 100, np.uint8))
+    gw.compute()
+    mesh = gw.getViewerMesh()
+    assert mesh.vertices.shape[0] > 0
