@@ -399,23 +399,54 @@ class GeoWrapper:
 
     # ------------------------------------------------------------------ meshing
     @functools.lru_cache(maxsize=4)
-    def _jit_extract(self, max_cells, max_triangles):
+    def _jit_gate(self):
         def fn(table, pool, bpos, bptr, bres, bvalid):
-            return M.extract_iso_surface(self.cfg, table, pool, bpos, bptr,
-                                         bres, bvalid, max_cells,
-                                         max_triangles)
+            return M.gate_cells(self.cfg, table, pool, bpos, bptr, bres,
+                                bvalid)
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=4)
+    def _jit_batch(self, max_cells, max_triangles):
+        def fn(table, pool, pf, gate, off):
+            return M.extract_cell_batch(self.cfg, table, pool, pf, gate,
+                                        off, max_cells, max_triangles)
         return jax.jit(fn)
 
     def _extract_resident(self, max_cells=1 << 16, max_triangles=1 << 18,
-                          state=None):
-        """MeshExtractor::extractMesh on all resident blocks."""
+                          state=None, chunk=1 << 13):
+        """MeshExtractor::extractMesh on all resident blocks, swept in
+        window chunks: the cell gate probes 8 corner lookups per voxel, so
+        one pass over a 2^17 window would materialize [A*512, probes]
+        buffers (32 GB at Replica settings).  Blocks compact to the front,
+        so the sweep early-exits past the occupied count."""
         state = self.state if state is None else state
         slots, count, bpos, bptr, bres, bvalid = I.compact_active(
             self.cfg, state.table)
-        tri_pos, tri_col, n = self._jit_extract(max_cells, max_triangles)(
-            state.table, state.pool, bpos, bptr, bres, bvalid)
-        n = int(n)
-        return np.asarray(tri_pos[:n]), np.asarray(tri_col[:n])
+        count = int(count)
+        pos_parts, col_parts = [], []
+        A = bpos.shape[0]
+        for off in range(0, A, chunk):
+            if off >= count:
+                break
+            sl = slice(off, off + chunk)
+            pf, gate, total = self._jit_gate()(
+                state.table, state.pool, bpos[sl], bptr[sl], bres[sl],
+                bvalid[sl])
+            total = int(total)
+            # sweep ALL gated cells in bounded batches (phase B); one
+            # bounded buffer used to silently truncate dense chunks ~30x
+            for coff in range(0, total, max_cells):
+                tri_pos, tri_col, n = self._jit_batch(
+                    max_cells, max_triangles)(
+                    state.table, state.pool, pf, gate, jnp.int32(coff))
+                n = int(n)
+                if n:
+                    pos_parts.append(np.asarray(tri_pos[:n]))
+                    col_parts.append(np.asarray(tri_col[:n]))
+        if not pos_parts:
+            return (np.zeros((0, 3, 3), np.float32),
+                    np.zeros((0, 3, 3), np.float32))
+        return np.concatenate(pos_parts), np.concatenate(col_parts)
 
     # ---- viewer mesh thread (mesh_extractor.cpp:78-92) --------------------
     def _viewer_mesh_tick(self):

@@ -182,14 +182,23 @@ def cell_gate(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     return pf, gate
 
 
-def compact_cells(pf, gate, max_cells: int):
-    """Gather surviving cell centers into a fixed [max_cells] buffer."""
+def compact_cells(pf, gate, max_cells: int, offset=None):
+    """Gather surviving cell centers into a fixed [max_cells] buffer,
+    starting at gated-cell rank `offset` (a traced scalar) so a host loop
+    can sweep ALL gated cells batch by batch — one bounded buffer used to
+    silently truncate dense chunks 30x."""
     flat_pf = pf.reshape(-1, 3)
     flat_gate = gate.reshape(-1)
-    sel, valid, total = H.compact_indices(flat_gate, max_cells)
-    out_pf = flat_pf[jnp.where(valid, sel, 0)]
+    cs = jnp.cumsum(flat_gate.astype(jnp.int32))
+    total = cs[-1]
+    off = jnp.int32(0) if offset is None else offset.astype(jnp.int32)
+    ranks = off + jnp.arange(1, max_cells + 1, dtype=jnp.int32)
+    sel = jnp.searchsorted(cs, ranks, side="left").astype(jnp.int32)
+    valid = ranks <= total
+    out_pf = flat_pf[jnp.where(valid, jnp.minimum(sel,
+                                                  flat_gate.shape[0] - 1), 0)]
     out_pf = jnp.where(valid[:, None], out_pf, 0.0)
-    return out_pf, valid, jnp.minimum(total, max_cells)
+    return out_pf, valid, total
 
 
 def extract_cells(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
@@ -277,8 +286,24 @@ def compact_triangles(tri_pos, tri_col, tri_mask, max_triangles: int):
 def extract_iso_surface(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
                         bpos, bptr, bres, bvalid,
                         max_cells: int, max_triangles: int):
-    """extractIsoSurface (marching_cubes.cu:287-305) over compacted blocks."""
+    """extractIsoSurface (marching_cubes.cu:287-305) over compacted blocks
+    (single bounded batch — callers needing full coverage drive
+    gate_cells / extract_cell_batch in a host loop)."""
+    pf, gate, total = gate_cells(cfg, table, pool, bpos, bptr, bres, bvalid)
+    return extract_cell_batch(cfg, table, pool, pf, gate, None,
+                              max_cells, max_triangles)
+
+
+def gate_cells(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
+               bpos, bptr, bres, bvalid):
+    """Phase A once per block window: cell centers + gate + gated count."""
     pf, gate = cell_gate(cfg, table, pool, bpos, bptr, bres, bvalid)
-    cpf, cvalid, _ = compact_cells(pf, gate, max_cells)
+    return pf, gate, jnp.sum(gate.astype(jnp.int32))
+
+
+def extract_cell_batch(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
+                       pf, gate, offset, max_cells: int, max_triangles: int):
+    """Phase B on gated cells [offset, offset+max_cells)."""
+    cpf, cvalid, _ = compact_cells(pf, gate, max_cells, offset)
     tri_pos, tri_col, tri_mask = extract_cells(cfg, table, pool, cpf, cvalid)
     return compact_triangles(tri_pos, tri_col, tri_mask, max_triangles)

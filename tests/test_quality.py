@@ -1,0 +1,21 @@
+"""End-to-end reconstruction quality thresholds (VERDICT r1 item 6): the
+small preset of tools/quality_eval.py (box room, 5 cm voxels, full orbit)
+must hold Chamfer-L1 and F-score bounds vs the analytic room surface.
+Calibrated: Chamfer-L1 ~= 0.018 m, F-score@5cm ~= 0.993 on this protocol
+(Replica preset on the real device measures 5.2 mm / 1.000 — QUALITY.json).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def test_box_room_quality_small():
+    from quality_eval import run_quality
+    rows = run_quality(frames=12, res="small", n_eval_points=100_000,
+                       mesh_path="/tmp/quality_mesh_test.ply",
+                       write_json=False)
+    r5 = next(r for r in rows if r["threshold"] == 0.05)
+    assert r5["chamfer_l1"] < 0.035, r5
+    assert r5["fscore"] > 0.90, r5
+    assert r5["precision"] > 0.95, r5

@@ -49,6 +49,23 @@ def gt_box_points(half=3.0, n=2_000_000, seed=0):
     return pts
 
 
+def cull_to_observed(gt, poses, fx, cx, cy, rows, cols, max_depth):
+    """Keep GT points that land inside at least one frame's frustum: the
+    orbit trajectory never looks at the floor/ceiling, and completeness
+    against unobserved surface is a protocol artifact, not a
+    reconstruction error (the reference's datasets observe ~everything)."""
+    seen = np.zeros(gt.shape[0], bool)
+    for rot, t in poses:
+        pc = (gt - t) @ rot  # world -> cam (rot is cam-to-world)
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            col = fx * pc[:, 0] / z + cx
+            row = fx * pc[:, 1] / z + cy
+        seen |= ((z > 0.01) & (z < max_depth) & (row >= 0) & (col >= 0)
+                 & (row < rows) & (col < cols))
+    return gt[seen]
+
+
 def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
                 mesh_path="/tmp/quality_mesh.ply", write_json=True):
     """Integrate a full orbit of the box room, extract the mesh, evaluate
@@ -76,11 +93,13 @@ def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
     rgb = rng.integers(0, 255, (rows, cols, 3)).astype(np.uint8)
     n = frames
     t0 = time.perf_counter()
+    poses = []
     for i in range(n):
         th = 2.0 * np.pi * i / n
         rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
                         [-np.sin(th), 0, np.cos(th)]], np.float32)
         t = np.array([0.05 * np.sin(th), 0.02 * np.cos(th), 0.0], np.float32)
+        poses.append((rot, t))
         q = _rot_to_quat(rot)
         gw.setCurrPose(t, q)
         cam = C.with_pose(gw.camera, rot, t)
@@ -99,6 +118,10 @@ def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
     verts, faces = read_mesh_ply(mesh_path)
     est = eval_utils.sample_mesh_points(verts, faces, n_eval_points)
     gt = gt_box_points(3.0, n_eval_points)
+    gt = cull_to_observed(gt, poses, fx, cols / 2 - 0.5, rows / 2 - 0.5,
+                          rows, cols, 30.0)
+    print(f"# observed GT points: {gt.shape[0]}/{n_eval_points}",
+          file=sys.stderr)
     rows_m = eval_utils.evaluate_reconstruction(est, gt)
     for r in rows_m:
         print(json.dumps(r))
