@@ -413,29 +413,35 @@ def _scatter_block_rows(pool: VoxelPool, row, bres, bvalid, update_mask,
     both-branches+select, so even an always-false res-1 branch costs real
     scatter time."""
     n_rows = pool.sdf.shape[0]
-    is0 = bvalid & ((bres == 0) if multires else True)
-    row0 = jnp.where(is0, row, n_rows)
     L1 = P.TOTAL_LOW_BLOCK_SIZE
+    out = {}
     if multires:
+        # ONE row scatter-add for both resolutions: res-0 deltas over the
+        # full row, res-1 deltas masked to the carved window (siblings
+        # sharing a row touch disjoint lanes, so duplicate row indices
+        # accumulate without conflict)
         assert lane0 is not None, "multires scatter needs carve lane0"
-        is1 = bvalid & (bres == 1)
-        rows1 = jnp.where(is1, row, n_rows)
+        rows_all = jnp.where(bvalid, row, n_rows)
         lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
         local = lanes - lane0[:, None]
-        win_upd = ((local >= 0) & (local < L1) & is1[:, None]
-                   & update_mask)
+        in_win = jnp.where((bres == 1)[:, None],
+                           (local >= 0) & (local < L1), True)
+        upd = update_mask & in_win & bvalid[:, None]
+        for name, new_vals in new.items():
+            assert new_vals.ndim == 2, "pool lanes are packed 2D"
+            arr = getattr(pool, name)
+            zero = jnp.zeros((), arr.dtype)
+            delta = jnp.where(upd, new_vals - old[name], zero)
+            out[name] = arr.at[rows_all].add(delta, mode="drop")
+        return pool.replace(**out)
 
-    out = {}
+    row0 = jnp.where(bvalid, row, n_rows)
     for name, new_vals in new.items():
         assert new_vals.ndim == 2, "pool lanes are packed 2D"
         full = jnp.where(update_mask, new_vals, old[name])
         arr = getattr(pool, name)
-        arr = arr.at[row0].set(full, mode="drop", unique_indices=True)
-        if multires:
-            zero = jnp.zeros((), arr.dtype)
-            delta = jnp.where(win_upd, new_vals - old[name], zero)
-            arr = arr.at[rows1].add(delta, mode="drop")
-        out[name] = arr
+        out[name] = arr.at[row0].set(full, mode="drop",
+                                     unique_indices=True)
     return pool.replace(**out)
 
 
