@@ -66,7 +66,7 @@ def _bitcast(x, dtype):
     return jax.lax.bitcast_convert_type(x, dtype)
 
 
-def _kernel(b, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
+def _kernel(b, emit_delta, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
             img_vmem, sampd_ref, sampp_ref, inp_ref, copy_sem):
     i = pl.program_id(0)
 
@@ -80,8 +80,11 @@ def _kernel(b, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
 
     @pl.when(step_active == 0)
     def _():
-        out_ref[:, :POOL_LANES] = pool_ref[...]
-        out_ref[:, POOL_LANES:] = jnp.zeros((b, 128), jnp.int32)
+        if emit_delta:
+            out_ref[...] = jnp.zeros((b, OUT_LANES), jnp.int32)
+        else:
+            out_ref[:, :POOL_LANES] = pool_ref[...]
+            out_ref[:, POOL_LANES:] = jnp.zeros((b, 128), jnp.int32)
 
     @pl.when(step_active != 0)
     def _():
@@ -274,10 +277,26 @@ def _kernel(b, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
         out_w = jnp.where(update, m_w, w0)
         out_rgbp = jnp.where(update, rgbp_m, rgbp0)
 
-        out_ref[:, 0:LANES] = _bitcast(out_sdf, jnp.int32)
-        out_ref[:, LANES:2 * LANES] = _bitcast(out_ssq, jnp.int32)
-        out_ref[:, 2 * LANES:3 * LANES] = out_w
-        out_ref[:, 3 * LANES:4 * LANES] = out_rgbp
+        if emit_delta:
+            # delta emission for the multi-res add-writeback: sibling
+            # res-1 blocks share pool rows, so the caller accumulates
+            # `new - old` row deltas; emitting them in-kernel saves the
+            # XLA-side old-row gathers + subtractions entirely
+            upd = update
+            zf = jnp.float32(0.0)
+            zi = jnp.int32(0)
+            out_ref[:, 0:LANES] = _bitcast(
+                jnp.where(upd, out_sdf - sdf0, zf), jnp.int32)
+            out_ref[:, LANES:2 * LANES] = _bitcast(
+                jnp.where(upd, out_ssq - ssq0, zf), jnp.int32)
+            out_ref[:, 2 * LANES:3 * LANES] = jnp.where(upd, out_w - w0, zi)
+            out_ref[:, 3 * LANES:4 * LANES] = jnp.where(
+                upd, out_rgbp - rgbp0, zi)
+        else:
+            out_ref[:, 0:LANES] = _bitcast(out_sdf, jnp.int32)
+            out_ref[:, LANES:2 * LANES] = _bitcast(out_ssq, jnp.int32)
+            out_ref[:, 2 * LANES:3 * LANES] = out_w
+            out_ref[:, 3 * LANES:4 * LANES] = out_rgbp
 
         # flag lanes: 2048 unserved count; 2049/2050 GC inputs
         n_uns = jnp.sum((ok & ~in_patch).astype(jnp.int32), axis=1,
@@ -290,14 +309,18 @@ def _kernel(b, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
              jnp.zeros((b, 125), jnp.int32)], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "b"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "b", "emit_delta"))
 def fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows,
-                           interpret=False, b=BLOCKS_PER_STEP):
+                           interpret=False, b=BLOCKS_PER_STEP,
+                           emit_delta=False):
     """img_cf f32[2,Hpad,Wpad] (depth, rgb packed exactly into f32);
     cam_vec f32[1,128] (layout above); meta i32[A,128] (0..2 block pos,
     3 valid); pool_rows i32[A,2048] (sdf|sumsq bitcast, weight, rgbp).
-    A % b == 0.  Returns i32[A,2176]: updated pool rows + flag lanes
-    (2048 = count of in-image voxels whose pixel fell outside the patch)."""
+    A % b == 0.  Returns i32[A,2176]: updated pool rows (or, with
+    emit_delta, zero-masked `new - old` row deltas for an add-writeback)
+    + flag lanes (2048 = count of in-image voxels whose pixel fell
+    outside the patch)."""
     A = meta.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -321,7 +344,7 @@ def fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows,
         ],
     )
     call = pl.pallas_call(
-        functools.partial(_kernel, b),
+        functools.partial(_kernel, b, emit_delta),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((A, OUT_LANES), jnp.int32),
         interpret=interpret,

@@ -715,23 +715,26 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
          pool.weight[prow], pool.rgbp[prow]], axis=1)
 
     out = FI.fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows,
-                                    interpret=cfg.pallas_interpret)
+                                    interpret=cfg.pallas_interpret,
+                                    emit_delta=multires)
 
     L = LANES
     if multires:
-        # window-granular writeback: kernel out rows hold merged values in
-        # each block's window and stale sibling data outside it
-        lanes = jnp.arange(L, dtype=jnp.int32)
-        local = lanes[None, :] - lane0[:, None]
-        nvox = jnp.where(bres == 1, P.TOTAL_LOW_BLOCK_SIZE, L)[:, None]
-        in_win = (local >= 0) & (local < nvox) & bvalid[:, None]
-        new = dict(sdf=cast(out[:, 0:L], jnp.float32),
-                   sumsq=cast(out[:, L:2 * L], jnp.float32),
-                   weight=out[:, 2 * L:3 * L],
-                   rgbp=out[:, 3 * L:4 * L])
-        old = _gather_block_rows(pool, prow)
-        pool = _scatter_block_rows(pool, prow, bres, bvalid, in_win,
-                                   new, old, multires=True, lane0=lane0)
+        # delta-add writeback: the kernel emits zero-masked `new - old`
+        # row deltas (old rows were already in VMEM), so sibling res-1
+        # blocks sharing a pool row accumulate without conflict and no
+        # old-row gather or XLA-side subtraction is needed
+        n_rows = pool.sdf.shape[0]
+        rows_all = jnp.where(bvalid, prow, n_rows)
+        pool = pool.replace(
+            sdf=pool.sdf.at[rows_all].add(cast(out[:, 0:L], jnp.float32),
+                                          mode="drop"),
+            sumsq=pool.sumsq.at[rows_all].add(
+                cast(out[:, L:2 * L], jnp.float32), mode="drop"),
+            weight=pool.weight.at[rows_all].add(out[:, 2 * L:3 * L],
+                                                mode="drop"),
+            rgbp=pool.rgbp.at[rows_all].add(out[:, 3 * L:4 * L],
+                                            mode="drop"))
     else:
         n_rows = pool.sdf.shape[0]
         row0 = jnp.where(bvalid, prow, n_rows)
