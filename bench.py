@@ -70,11 +70,15 @@ def main():
         # C-sized arrays every frame (load factor stays <= 0.4 even full)
         num_buckets=1 << 17,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode,
-        alloc_tile=4)
+        alloc_tile=4,
+        # resident window cache (core/resident.py): slice-addressed pack/
+        # writeback instead of row scatters (fused single-res path)
+        resident_rows=(1 << 17) if sample_mode == "fused" else 0)
     cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
                          rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
     rng = np.random.default_rng(0)
-    state = make_state(cfg.num_blocks, cfg.num_buckets or None)
+    state = make_state(cfg.num_blocks, cfg.num_buckets or None,
+                       cfg.resident_rows)
 
     # full-revolution orbit: warmup covers one revolution (the whole room
     # gets allocated), timed frames re-observe the same poses — the steady
@@ -110,15 +114,26 @@ def main():
     bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
     cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
+    if cfg.resident_rows:
+        # the bucket just shrank from the warmup window: resident slots may
+        # sit past the new kernel range, so restart residency and let the
+        # post-refit warm frames re-adopt (churn-capped per frame)
+        from mrhash_tpu.core.state import make_resident
+        state = state.replace(
+            resident=make_resident(cfg.num_blocks, cfg.resident_rows))
     step = pipeline.jit_integrate_rgbd(cfg_run)
-    state, stats = step(state, frame_cam(n_warmup), depths[n_warmup % orbit],
-                        rgb)
+    # post-refit warm frames: enough for the fresh residency to re-adopt
+    # the full window at resident_churn rows/frame (+2 slack)
+    n_adopt = (occ_max + cfg.resident_churn - 1) // cfg.resident_churn + 2
+    for j in range(n_adopt):
+        state, stats = step(state, frame_cam(n_warmup + j),
+                            depths[(n_warmup + j) % orbit], rgb)
     jax.block_until_ready(state)
     print(f"# occupancy {occ} (max in-frustum {occ_max}), bucket {bucket}",
           file=sys.stderr)
 
     t0 = time.perf_counter()
-    for i in range(n_warmup + 1, n_warmup + 1 + n_frames):
+    for i in range(n_warmup + n_adopt, n_warmup + n_adopt + n_frames):
         state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
     state = jax.block_until_ready(state)
     dt = (time.perf_counter() - t0) / n_frames

@@ -18,9 +18,18 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from mrhash_tpu.core import resident as R
 from mrhash_tpu.core.state import MapConfig, MapState
 from mrhash_tpu.ops import camera as C
 from mrhash_tpu.ops import integrate as I
+
+
+def resident_enabled(cfg: MapConfig) -> bool:
+    """Resident window mode: fused single-res RGB-D only (multi-res sibling
+    windows share pool rows, which breaks the one-block-per-resident-row
+    invariant — they keep the scatter writeback)."""
+    return (cfg.resident_rows > 0 and cfg.sample_mode == "fused"
+            and cfg.sdf_var_threshold == 0.0)
 
 
 def _stats(state: MapState, count, unserved=None):
@@ -48,6 +57,34 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
     # --- compaction + integration -----------------------------------------
     slots, count, bpos, bptr, bres, bvalid = I.compact_active(cfg, table, cam)
     unserved = None
+    if resident_enabled(cfg):
+        # resident window: slice-addressed fused integrate + GC/starve on
+        # the resident rows (see core/resident.py for the TPU rationale)
+        rp, pool, (slots, bpos, bptr, bres, bvalid) = R.adopt_window(
+            cfg, state.resident, state.pool, slots, bpos, bptr, bres, bvalid)
+        rpool, iaux = I.fused_integrate_depth(
+            cfg, rp.pool, cam, pc_depth, rgb_img,
+            bpos, bptr, bres, bvalid, frame=state.frame, resident=True)
+        unserved = iaux["unserved_blocks"]
+        A = bptr.shape[0]
+        rptr = jnp.arange(A, dtype=jnp.int32) * 512
+        if cfg.n_frames_invalidate_voxels > 0:
+            n = cfg.n_frames_invalidate_voxels
+            rpool = jax.lax.cond(
+                (state.frame > 0) & (state.frame % n == 0),
+                lambda p: I.starve_voxels(cfg, p, cam, bpos, rptr, bres,
+                                          bvalid),
+                lambda p: p, rpool)
+            rp = rp.replace(pool=rpool)
+            table, pool, rp = I.garbage_collect_sweep(
+                cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid,
+                kernel_flags=(iaux["gc_min_s"], iaux["gc_max_w"]),
+                resident_rp=rp)
+        else:
+            rp = rp.replace(pool=rpool)
+        state = MapState(table=table, pool=pool, frame=state.frame + 1,
+                         resident=rp)
+        return state, _stats(state, count, unserved)
     if cfg.sample_mode == "fused":
         # single fused Pallas pass (projection + sampling + TSDF merge);
         # multi-res windows carry res + lane0 in the kernel meta and write
@@ -104,7 +141,8 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
             cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid,
             kernel_flags=flags)
 
-    state = MapState(table=table, pool=pool, frame=state.frame + 1)
+    state = MapState(table=table, pool=pool, frame=state.frame + 1,
+                     resident=state.resident)
     return state, _stats(state, count, unserved)
 
 
@@ -157,7 +195,8 @@ def integrate_points(cfg: MapConfig, state: MapState, cam: C.Camera,
         table, pool = I.garbage_collect_sweep(
             cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid)
 
-    state = MapState(table=table, pool=pool, frame=state.frame + 1)
+    state = MapState(table=table, pool=pool, frame=state.frame + 1,
+                     resident=state.resident)
     return state, _stats(state, count)
 
 

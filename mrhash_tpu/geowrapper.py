@@ -15,6 +15,8 @@ import numpy as np
 
 from mrhash_tpu import params as P
 from mrhash_tpu.core import mesh_post, pipeline
+from mrhash_tpu.core import resident as RES
+from mrhash_tpu.core.state import make_resident
 from mrhash_tpu.core.state import MapConfig, make_state
 from mrhash_tpu.core.streaming import Streamer
 from mrhash_tpu.ops import camera as C
@@ -107,7 +109,12 @@ class GeoWrapper:
             # route to the split pallas sampler inside the pipeline
             sample_mode = ("fused" if jax.default_backend() != "cpu"
                            else "gather")
+        # resident window cache (core/resident.py): fused single-res only
+        resident_rows = (int(max_active_blocks)
+                         if sample_mode == "fused"
+                         and float(sdf_var_threshold) == 0.0 else 0)
         self.cfg = MapConfig(
+            resident_rows=resident_rows,
             sample_mode=sample_mode,
             alloc_tile=4,
             pallas_interpret=bool(pallas_interpret),
@@ -128,7 +135,8 @@ class GeoWrapper:
             max_alloc_per_frame=int(max_alloc_per_frame),
         )
         self.state = make_state(self.cfg.num_blocks,
-                                self.cfg.num_buckets or None)
+                                self.cfg.num_buckets or None,
+                                self.cfg.resident_rows)
         self.streamer = Streamer(self.cfg, staging)
         self.mesh = mesh_post.MeshAccumulator(vertices_merging_threshold)
         self.viewer_active = viewer_active
@@ -316,6 +324,11 @@ class GeoWrapper:
         prev = getattr(self, "_bucket", 0)
         if prev and bucket < prev and occ * 1.5 > prev * 0.6:
             bucket = prev
+        if self.cfg.resident_rows > 0:
+            # resident mode requires a non-shrinking bucket: a resident
+            # slot assigned under a larger bucket must never fall outside
+            # the kernel range (core/resident.py invariant)
+            bucket = max(bucket, prev)
         bucket = min(bucket, self.cfg.max_active_blocks)
         self._bucket = bucket
         return dataclasses.replace(self.cfg, max_active_blocks=bucket)
@@ -355,12 +368,38 @@ class GeoWrapper:
         self._prewarm_pending.add(tag)
         self._prewarm_pool.submit(self._compile_step, ncfg, kind, args)
 
+    # ---- resident window sync (core/resident.py) ---------------------------
+    def _flush_resident(self):
+        """Re-sync the big pool from the resident window cache before any
+        consumer that reads pool rows through table.ptr (meshing, raycast,
+        serialization, GS seeding).  Residency stays valid afterwards.
+        No-op until an RGB-D frame has populated the cache."""
+        if (self.state.resident is not None
+                and getattr(self, "_resident_dirty", False)):
+            self.state = self.state.replace(
+                pool=RES.flush(self.state.resident, self.state.pool))
+
+    def _drop_resident(self):
+        """Flush + forget residency: required before anything that frees or
+        rewrites big-pool rows outside the frame program (streaming, LiDAR
+        steps), which would silently invalidate the cache maps.  Re-entry
+        churn after a drop is bounded by cfg.resident_churn per frame
+        (staggered)."""
+        if (self.state.resident is not None
+                and getattr(self, "_resident_dirty", False)):
+            self._flush_resident()
+            self.state = self.state.replace(
+                resident=make_resident(self.cfg.num_blocks,
+                                       self.cfg.resident_rows))
+            self._resident_dirty = False
+
     def compute(self):
         """Per-frame step (geowrapper.cpp:118-148)."""
         cam = C.with_pose(self.camera, self.curr_rot, self.curr_trans)
 
         # stream when the high heap runs low (geowrapper.cpp:137-138)
         if self._high_free <= P.STREAM_THRESHOLD * self.cfg.num_blocks:
+            self._drop_resident()
             with self.streaming_profiler.event():
                 self.state = self.streamer.stream(
                     self.state, self.curr_trans, self.camera.max_depth)
@@ -373,6 +412,9 @@ class GeoWrapper:
                         jnp.asarray(self._rgb_img))
                 kind = "rgbd"
             elif self._points is not None:
+                # the LiDAR step writes big-pool rows directly; flush +
+                # forget any residency built by earlier RGB-D frames
+                self._drop_resident()
                 valid = np.zeros((self._points.shape[0],), bool)
                 valid[: self._num_points] = True
                 args = (self.state, cam, jnp.asarray(self._points),
@@ -383,6 +425,8 @@ class GeoWrapper:
                 return
             compiled = self._compile_step(cfg, kind, args)
             self.state, stats = compiled(*args)
+            if kind == "rgbd" and self.state.resident is not None:
+                self._resident_dirty = True
             self._maybe_prewarm(cfg, kind, args)
             occupied = int(stats["occupied_blocks"])
             self._last_occupied = occupied
@@ -391,6 +435,7 @@ class GeoWrapper:
 
         if (self.gs_container is not None and self._depth_img is not None
                 and self._rgb_img is not None):
+            self._flush_resident()
             self.gs_container.run_gs(self.cfg, cam, self.state,
                                      self._rgb_img, self._depth_img)
 
@@ -458,6 +503,7 @@ class GeoWrapper:
         fut = getattr(self, "_viewer_future", None)
         if fut is not None and not fut.done():
             return
+        self._flush_resident()
         state = self.state
 
         def work():
@@ -481,6 +527,7 @@ class GeoWrapper:
     def extractMesh(self, filename: str):
         """Chunk-sweep mesh extraction + ASCII PLY
         (geowrapper.cpp:150-230)."""
+        self._drop_resident()
         self.state = self.streamer.stream_all_out(self.state)
         self.mesh.reset()
         radius = P.RADIUS_SCALE_CHUNK * self.camera.max_depth
@@ -518,6 +565,7 @@ class GeoWrapper:
 
     # ------------------------------------------------------------------ persistence
     def streamAllOut(self):
+        self._drop_resident()
         self.state = self.streamer.stream_all_out(self.state)
 
     def clearBuffers(self):
@@ -602,7 +650,8 @@ class GeoWrapper:
     def _rebuild(self, **cfg_updates):
         self.cfg = dataclasses.replace(self.cfg, **cfg_updates)
         self.state = make_state(self.cfg.num_blocks,
-                                self.cfg.num_buckets or None)
+                                self.cfg.num_buckets or None,
+                                self.cfg.resident_rows)
         self.streamer = Streamer(self.cfg, self.streamer.staging)
         self._high_free = self.cfg.num_blocks
 

@@ -666,7 +666,7 @@ def _patch_origins(cam: C.Camera, bpos, vvs, hpad, wpad, ph, pw):
 
 def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
                           pc_depth, rgb_img, bpos, bptr, bres, bvalid,
-                          frame=None):
+                          frame=None, resident=False):
     """One-kernel depth integration over the compacted window: pack pool
     rows, run the fused Pallas kernel, scatter rows back, then serve
     out-of-patch lanes of up to sample_fallback/512 blocks with the
@@ -677,6 +677,13 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     the kernel masks its fuse to the block's carved 64-lane window; the
     writeback then uses window-granular scatters (sibling res-1 blocks share
     a pool row, so whole-row scatters would collide).
+
+    With resident=True, `pool` is the resident window cache (core/resident):
+    the window is already ordered so block i lives at pool row i, so the
+    pack is a contiguous slice read and the writeback a contiguous slice
+    update — both at HBM bandwidth instead of ~16-28 GB/s row scatters
+    (measured 17.2 -> 7.3 ms/frame at A=20480).  `bptr` is ignored for row
+    addressing in this mode (it carries the BIG-pool ptr for the caller).
 
     Returns (pool', aux) with aux = dict(gc_min_s[A], gc_max_w[A],
     unserved_blocks scalar) — the GC flags come free from the kernel (valid
@@ -701,7 +708,14 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
         cfg.integration_weight_sample, cfg.integration_weight_max,
         hpad, wpad)
 
-    prow, lane0 = _block_rows(bptr, bvalid)
+    if resident:
+        if multires:
+            raise NotImplementedError(
+                "resident window mode covers single-resolution only")
+        prow = jnp.arange(A, dtype=jnp.int32)
+        lane0 = jnp.zeros((A,), jnp.int32)
+    else:
+        prow, lane0 = _block_rows(bptr, bvalid)
     meta = jnp.zeros((A, 128), jnp.int32)
     meta = meta.at[:, :3].set(jnp.where(bvalid[:, None], bpos, 0))
     meta = meta.at[:, 3].set(bvalid.astype(jnp.int32))
@@ -710,9 +724,15 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
         meta = meta.at[:, 5].set(lane0)
 
     cast = jax.lax.bitcast_convert_type
-    pool_rows = jnp.concatenate(
-        [cast(pool.sdf[prow], jnp.int32), cast(pool.sumsq[prow], jnp.int32),
-         pool.weight[prow], pool.rgbp[prow]], axis=1)
+    if resident:
+        pool_rows = jnp.concatenate(
+            [cast(pool.sdf[:A], jnp.int32), cast(pool.sumsq[:A], jnp.int32),
+             pool.weight[:A], pool.rgbp[:A]], axis=1)
+    else:
+        pool_rows = jnp.concatenate(
+            [cast(pool.sdf[prow], jnp.int32),
+             cast(pool.sumsq[prow], jnp.int32),
+             pool.weight[prow], pool.rgbp[prow]], axis=1)
 
     out = FI.fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows,
                                     interpret=cfg.pallas_interpret,
@@ -735,6 +755,14 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
                                                 mode="drop"),
             rgbp=pool.rgbp.at[rows_all].add(out[:, 3 * L:4 * L],
                                             mode="drop"))
+    elif resident:
+        # contiguous slice update (HBM bandwidth; in-place on the donated
+        # resident arrays) — block i's row IS resident row i
+        pool = pool.replace(
+            sdf=pool.sdf.at[:A].set(cast(out[:, 0:L], jnp.float32)),
+            sumsq=pool.sumsq.at[:A].set(cast(out[:, L:2 * L], jnp.float32)),
+            weight=pool.weight.at[:A].set(out[:, 2 * L:3 * L]),
+            rgbp=pool.rgbp.at[:A].set(out[:, 3 * L:4 * L]))
     else:
         n_rows = pool.sdf.shape[0]
         row0 = jnp.where(bvalid, prow, n_rows)
@@ -781,8 +809,9 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     out_of_patch = ~((lr >= 0) & (lr < FI.PATCH_H)
                      & (lc >= 0) & (lc < FI.PATCH_W))
     fcfg = dataclasses.replace(cfg, sample_mode="gather")
+    fb_ptr = bsel * LANES if resident else bptr[bsel]
     pool = integrate_depth(fcfg, pool, cam, pc_depth, rgb_img,
-                           fb_pos, bptr[bsel], bres[bsel], bok,
+                           fb_pos, fb_ptr, bres[bsel], bok,
                            lane_mask=out_of_patch)
     return pool, aux
 
@@ -1026,7 +1055,7 @@ def _clear_blocks(pool: VoxelPool, bptr, bres, mask, multires=True):
 def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
                           pool: VoxelPool, cam: C.Camera,
                           slots, bpos, bptr, bres, bvalid,
-                          kernel_flags=None):
+                          kernel_flags=None, resident_rp=None):
     """garbageCollectIdentify + Free (voxel_data_structures.cu:1673-1854):
     free blocks whose min |sdf| exceeds the max-depth truncation or whose max
     weight is zero.
@@ -1034,7 +1063,12 @@ def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
     kernel_flags = (min_abs_sdf[A], max_w[A]) from the fused integrate
     kernel's flag lanes: skips the w/sdf row gathers.  On starve frames the
     flags predate the starvation decrement, so a block starved to weight 0
-    is freed one frame later (deviation D12, DESIGN.md)."""
+    is freed one frame later (deviation D12, DESIGN.md).
+
+    With resident_rp (core/resident mode), the window is in resident-slot
+    order, `pool` is the BIG pool (freed rows are zeroed there for heap
+    reuse) and freed blocks' residency is released; returns
+    (table, pool, rp') instead of (table, pool)."""
     trunc_max = X.get_truncation(cam.max_depth, cfg.sdf_truncation,
                                  cfg.sdf_truncation_scale)
     if kernel_flags is not None:
@@ -1063,6 +1097,10 @@ def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
     table, ptrs, fres, freed = H.free_slots(table, slots[didx_c], dvalid)
     pool = _clear_blocks(pool, ptrs, fres, freed,
                          multires=cfg.sdf_var_threshold > 0.0)
+    if resident_rp is not None:
+        from mrhash_tpu.core import resident as RES
+        rp = RES.release_rows(resident_rp, ptrs // LANES, didx_c, freed)
+        return table, pool, rp
     return table, pool
 
 
