@@ -188,9 +188,10 @@ class MapConfig:
     lookup_dedup_scratch: int = 1 << 15      # cells for dedup-fronted lookup
     pallas_interpret: bool = False           # run kernels interpreted (CPU)
     resident_rows: int = 0                   # >0: resident window cache size
-    resident_churn: int = 1 << 11            # blocks entering residency/frame
-                                             # (adopt cost ~1 ms per 1k rows;
-                                             # overflow staggers a frame)
+    resident_churn: int = 1 << 9             # blocks entering residency/frame
+                                             # (adopt cost ~1 ms per 1k rows
+                                             # paid even at zero churn, so keep
+                                             # small; overflow staggers a frame)
 
     @property
     def metric_block_size(self) -> float:
