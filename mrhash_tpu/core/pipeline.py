@@ -25,20 +25,24 @@ from mrhash_tpu.ops import integrate as I
 
 
 def resident_enabled(cfg: MapConfig) -> bool:
-    """Resident window mode: fused single-res RGB-D only (multi-res sibling
-    windows share pool rows, which breaks the one-block-per-resident-row
-    invariant — they keep the scatter writeback)."""
+    """Resident window mode for the fused RGB-D path.  Single-res caches
+    window blocks 1:1; multi-res additionally needs resident_plain_rows > 0
+    (kind-segregated ROW slots, core/resident.adopt_window_rows)."""
     return (cfg.resident_rows > 0 and cfg.sample_mode == "fused"
-            and cfg.sdf_var_threshold == 0.0)
+            and (cfg.sdf_var_threshold == 0.0
+                 or cfg.resident_plain_rows > 0))
 
 
-def _stats(state: MapState, count, unserved=None):
-    return dict(occupied_blocks=count,
-                high_free=state.table.high_count,
-                low_free=state.table.low_count,
-                frame=state.frame,
-                unserved_blocks=(jnp.int32(0) if unserved is None
-                                 else unserved))
+def _stats(state: MapState, count, unserved=None, extra=None):
+    d = dict(occupied_blocks=count,
+             high_free=state.table.high_count,
+             low_free=state.table.low_count,
+             frame=state.frame,
+             unserved_blocks=(jnp.int32(0) if unserved is None
+                              else unserved))
+    if extra:
+        d.update(extra)
+    return d
 
 
 def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
@@ -57,6 +61,10 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
     # --- compaction + integration -----------------------------------------
     slots, count, bpos, bptr, bres, bvalid = I.compact_active(cfg, table, cam)
     unserved = None
+    if resident_enabled(cfg) and cfg.sdf_var_threshold > 0.0:
+        return _integrate_rgbd_resident_multires(
+            cfg, state, cam, pc_depth, rgb_img, table, slots, count,
+            bpos, bptr, bres, bvalid)
     if resident_enabled(cfg):
         # resident window: slice-addressed fused integrate + GC/starve on
         # the resident rows (see core/resident.py for the TPU rationale)
@@ -87,8 +95,9 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
         return state, _stats(state, count, unserved)
     if cfg.sample_mode == "fused":
         # single fused Pallas pass (projection + sampling + TSDF merge);
-        # multi-res windows carry res + lane0 in the kernel meta and write
-        # back window-granularly (sibling res-1 blocks share pool rows)
+        # multi-res windows pack sibling res-1 carves into row slots
+        # (ops/integrate.pack_window_rows) so every slot's pool row is
+        # unique and GC/coarsen inputs ride the kernel's flag lanes
         pool, iaux = I.fused_integrate_depth(
             cfg, state.pool, cam, pc_depth, rgb_img,
             bpos, bptr, bres, bvalid, frame=state.frame)
@@ -104,26 +113,32 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
         # max_coarsen window)
         rcfg = (dataclasses.replace(cfg, sample_mode="pallas")
                 if cfg.sample_mode == "fused" else cfg)
-        decide = I.coarsen_decide(cfg, pool, bptr, bres, bvalid)
+        if cfg.sample_mode == "fused":
+            decide = iaux["coarsen_decide"]
+        else:
+            decide = I.coarsen_decide(cfg, pool, bptr, bres, bvalid)
 
         def do_coarsen(table, pool):
-            t, p, new_slots, new_mask = I.coarsen_by_variance(
+            t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
                 cfg, table, pool, slots, bpos, bptr, bres, bvalid,
                 decide=decide)
             p = I.reintegrate_blocks(rcfg, t, p, cam, pc_depth, rgb_img,
                                      new_slots, new_mask)
-            # table changed: refresh the compacted window
-            return (t, p) + I.compact_active(cfg, t, cam)
+            return t, p, freed
 
         def skip(table, pool):
-            return (table, pool, slots, count, bpos, bptr, bres, bvalid)
+            return table, pool, jnp.zeros_like(decide)
 
-        # decide.any() gates the whole free/realloc/reintegrate/recompact
-        # chain: steady-state frames (nothing left to coarsen) pay only the
-        # variance scan (lax.cond branches are real on this path — measured)
-        (table, pool, slots, count, bpos, bptr, bres,
-         bvalid) = jax.lax.cond((state.frame > 0) & jnp.any(decide),
-                                do_coarsen, skip, table, pool)
+        # decide.any() gates the whole free/realloc/reintegrate chain:
+        # steady-state frames (nothing left to coarsen) pay only the scalar
+        # decision math (from kernel flag lanes on the fused path).  The
+        # window is NOT recompacted (deviation D18, DESIGN.md): starve/GC
+        # below run on the pre-coarsen window minus the freed entries, so
+        # this frame's new coarse blocks starve/GC from the next frame on.
+        table, pool, coarsen_freed = jax.lax.cond(
+            (state.frame > 0) & jnp.any(decide), do_coarsen, skip,
+            table, pool)
+        bvalid = bvalid & ~coarsen_freed
 
     # --- garbage collection -------------------------------------------------
     if cfg.n_frames_invalidate_voxels > 0:
@@ -132,18 +147,109 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
             (state.frame > 0) & (state.frame % n == 0),
             lambda p: I.starve_voxels(cfg, p, cam, bpos, bptr, bres, bvalid),
             lambda p: p, pool)
-        flags = None
-        if unserved is not None and cfg.sdf_var_threshold == 0.0:
-            # fused path: GC inputs ride the kernel out (single-res only —
-            # res-1 flag lanes would mix sibling windows sharing the row)
-            flags = (iaux["gc_min_s"], iaux["gc_max_w"])
+        # fused path: GC inputs ride the kernel out (per-entry in both
+        # single-res and packed multi-res modes)
+        flags = decision = None
+        if unserved is not None:
+            if cfg.sdf_var_threshold > 0.0:
+                decision = iaux["gc_decision"]
+            else:
+                flags = (iaux["gc_min_s"], iaux["gc_max_w"])
         table, pool = I.garbage_collect_sweep(
             cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid,
-            kernel_flags=flags)
+            kernel_flags=flags, kernel_decision=decision)
 
     state = MapState(table=table, pool=pool, frame=state.frame + 1,
                      resident=state.resident)
-    return state, _stats(state, count, unserved)
+    return state, _stats(state, count, unserved,
+                         extra=dict(res0_blocks=jnp.sum(
+                             (bvalid & (bres == 0)).astype(jnp.int32))))
+
+
+def _integrate_rgbd_resident_multires(cfg: MapConfig, state: MapState,
+                                      cam: C.Camera, pc_depth, rgb_img,
+                                      table, slots, count, bpos, bptr,
+                                      bres, bvalid):
+    """Multi-res RGB-D frame on the resident row-slot cache: adoption
+    (core/resident.adopt_window_rows) replaces the per-frame pack +
+    row gather + row scatter-set of the non-resident fused path (the two
+    row passes measured ~45 ms/frame at A=36864 on v5e) with contiguous
+    slice reads/writes.  Coarsen/GC mutate rows through the BIG pool, so
+    affected rows are flushed (siblings survive) and released first; they
+    re-adopt from the updated big copy next frame."""
+    from mrhash_tpu.core import resident as RES
+
+    frame = state.frame
+    rp, pool, rm = RES.adopt_window_rows(cfg, state.resident, state.pool,
+                                         bpos, bptr, bres, bvalid)
+    rpool, iaux = I.fused_integrate_depth(
+        cfg, rp.pool, cam, pc_depth, rgb_img, bpos, bptr, bres, bvalid,
+        frame=frame, resident_meta=rm)
+    rp = rp.replace(pool=rpool)
+    unserved = iaux["unserved_blocks"]
+    slotted = rm["eslot"] >= 0
+
+    # --- variance coarsening (flag-driven decide; D18 no-recompact) --------
+    rcfg = dataclasses.replace(cfg, sample_mode="pallas")
+    decide = iaux["coarsen_decide"]
+
+    def do_coarsen(table, pool, rp):
+        t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
+            cfg, table, pool, slots, bpos, bptr, bres, bvalid, decide=decide)
+        # freed res-0 rows: big rows are zero-cleared; their resident data
+        # is discarded with them — just drop residency
+        rp2 = RES.release_rows(rp, bptr // 512, rm["eslot"], freed & slotted)
+        # new carve rows may be resident via sibling carves: flush + release
+        # before reintegrate writes their windows through the big pool
+        safe = jnp.where(new_mask, new_slots, 0)
+        rp2, p = RES.flush_release_rows(rp2, p, t.ptr[safe] // 512, new_mask)
+        p = I.reintegrate_blocks(rcfg, t, p, cam, pc_depth, rgb_img,
+                                 new_slots, new_mask)
+        return t, p, rp2, freed
+
+    def skip(table, pool, rp):
+        return table, pool, rp, jnp.zeros_like(decide)
+
+    table, pool, rp, coarsen_freed = jax.lax.cond(
+        (frame > 0) & jnp.any(decide), do_coarsen, skip, table, pool, rp)
+    bvalid = bvalid & ~coarsen_freed
+
+    # --- starvation + garbage collection on the resident rows --------------
+    if cfg.n_frames_invalidate_voxels > 0:
+        n = cfg.n_frames_invalidate_voxels
+        # slot map RE-GATHERED after coarsen: rows coarsening flush-released
+        # mid-frame (new carve rows with live siblings) are authoritative in
+        # the BIG pool now, so their entries starve there instead — one
+        # shared geometry pass, two window-masked weight writebacks
+        n_big = cfg.num_blocks
+        prow_e = jnp.where(bvalid, bptr // 512, n_big)
+        eslot_now = rp.res_index[prow_e]
+        svalid_res = bvalid & (eslot_now >= 0)
+        rptr_now = jnp.maximum(eslot_now, 0) * 512 + rm["ecarve"] * 64
+        rem = bvalid & (eslot_now < 0)
+
+        def do_starve(pool, rpool):
+            starved = I.starve_mask(cfg, cam, bpos, bptr, bres, bvalid)
+            rpool = I.apply_starve(cfg, rpool, rptr_now, bres, svalid_res,
+                                   starved)
+            pool = I.apply_starve(cfg, pool, bptr, bres, rem, starved)
+            return pool, rpool
+
+        pool, rpool = jax.lax.cond(
+            (frame > 0) & (frame % n == 0), do_starve,
+            lambda p, q: (p, q), pool, rp.pool)
+        rp = rp.replace(pool=rpool)
+        table, pool, rp = I.garbage_collect_sweep(
+            cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid,
+            kernel_decision=iaux["gc_decision"], resident_rp=rp)
+
+    state = MapState(table=table, pool=pool, frame=frame + 1, resident=rp)
+    return state, _stats(state, count, unserved,
+                         extra=dict(res0_demand=rm["p_demand"],
+                                    rows1_demand=rm["q_demand"],
+                                    res0_blocks=jnp.sum(
+                                        (bvalid & (bres == 0)).astype(
+                                            jnp.int32))))
 
 
 def integrate_points(cfg: MapConfig, state: MapState, cam: C.Camera,
@@ -170,7 +276,7 @@ def integrate_points(cfg: MapConfig, state: MapState, cam: C.Camera,
         decide = I.coarsen_decide(cfg, pool, bptr, bres, bvalid)
 
         def do_coarsen(table, pool):
-            t, p, new_slots, new_mask = I.coarsen_by_variance(
+            t, p, new_slots, new_mask, _ = I.coarsen_by_variance(
                 cfg, table, pool, slots, bpos, bptr, bres, bvalid,
                 decide=decide)
             # NOTE: reference quirk preserved — the 3D reintegrate wrapper

@@ -108,6 +108,142 @@ def adopt_window(cfg: MapConfig, rp: ResidentPool, pool: VoxelPool,
     return rp, pool, (oslots, obpos, obptr, obres, ovalid)
 
 
+def adopt_window_rows(cfg: MapConfig, rp: ResidentPool, pool: VoxelPool,
+                      bpos, bptr, bres, bvalid):
+    """Multi-res row-slot adoption: resident slots cache POOL ROWS (not
+    window entries) in two kind-segregated regions — slots
+    [0, cfg.resident_plain_rows) hold res-0 rows, slots
+    [resident_plain_rows, A) hold carve (res-1) rows packed 8 sibling
+    blocks per row — so every fused-kernel grid step stays single-kind
+    (see ops/fused_integrate.py).  A row's kind can only change through a
+    free (GC / coarsen / streaming), all of which release residency, so a
+    sticky slot never ends up in the wrong region.
+
+    Unlike the single-res adopt_window, the window is NOT reordered:
+    entries keep window order and the per-entry maps eslot/ecarve address
+    them into the slot space (multiple sibling entries share one slot).
+    Rows that miss the churn cap (or overflow a region) stay non-resident:
+    their entries get eslot=-1 and stagger to the next frame.
+
+    Returns (rp', pool', meta) with meta = dict(
+      ovalid[A] (slot claimed by this frame's window), rpos[A,3] (res-0
+      slot block pos), gpos[A,8,3]/gvalid[A,8] (carve-group meta, rebuilt
+      from the window every frame), eslot[A]/ecarve[A] per-entry maps)."""
+    A = bptr.shape[0]
+    A0 = int(cfg.resident_plain_rows)
+    assert 0 < A0 < A and A0 % 16 == 0, (A0, A)
+    E = min(int(cfg.resident_churn), A)
+    R = rp.backing.shape[0]
+    n_big = rp.res_index.shape[0] - 1
+    arange = jnp.arange(A, dtype=jnp.int32)
+
+    prow = jnp.where(bvalid, bptr // LANES, n_big)
+    carve = jnp.where(bvalid, (bptr % LANES) // 64, 0)
+    is0 = bvalid & (bres == 0)
+    is1 = bvalid & (bres == 1)
+
+    rs_old = rp.res_index[prow]                        # -1 if absent
+    is_res = bvalid & (rs_old >= 0)
+    claimed = jnp.zeros((R,), bool).at[
+        jnp.where(is_res, rs_old, R)].set(True, mode="drop")
+
+    # region-P entrants: non-resident res-0 entries (rows unique);
+    # region-Q entrants: one leader per non-resident res-1 row
+    ent0 = is0 & ~is_res
+    cand1 = is1 & ~is_res
+    row_first = jnp.full((n_big + 1,), A, jnp.int32).at[
+        jnp.where(cand1, prow, n_big)].min(arange)
+    lead1 = cand1 & (row_first[prow] == arange)
+
+    eidx0, eok0, tot0 = H.compact_indices(ent0, E)
+    vidx0, vok0, _ = H.compact_indices(~claimed[:A0], E)
+    pair0 = eok0 & vok0
+    eidx1, eok1, tot1 = H.compact_indices(lead1, E)
+    vidx1, vok1, _ = H.compact_indices(~claimed[A0:A], E)
+    pair1 = eok1 & vok1
+
+    # region demand = already-claimed slots + rows still wanting in; the
+    # geowrapper ladders resident_plain_rows / the bucket from these so a
+    # too-small region can never silently starve entrants forever
+    p_demand = jnp.sum(claimed[:A0].astype(jnp.int32)) + tot0
+    q_demand = jnp.sum(claimed[A0:A].astype(jnp.int32)) + tot1
+
+    pair = jnp.concatenate([pair0, pair1])
+    epos = jnp.concatenate([jnp.where(pair0, eidx0, 0),
+                            jnp.where(pair1, eidx1, 0)])
+    vslot = jnp.concatenate([jnp.where(pair0, vidx0, 0),
+                             jnp.where(pair1, vidx1 + A0, 0)])
+    vdrop = jnp.where(pair, vslot, R)
+
+    # 1) evict: flush previous tenants of the paired slots (if backed)
+    old_back = rp.backing[vslot]
+    flush_to = jnp.where(pair & (old_back >= 0), old_back, n_big)
+    pool = pool.replace(**{
+        f: getattr(pool, f).at[flush_to].set(
+            getattr(rp.pool, f)[vslot], mode="drop", unique_indices=True)
+        for f in _FIELDS})
+
+    # 2) load entrant rows (fresh rows are zero-cleared on free)
+    erow = jnp.where(pair, prow[epos], n_big)
+    rpool = rp.pool.replace(**{
+        f: getattr(rp.pool, f).at[vdrop].set(
+            getattr(pool, f)[jnp.where(pair, erow, 0)],
+            mode="drop", unique_indices=True)
+        for f in _FIELDS})
+
+    # 3) maps
+    backing = rp.backing.at[vdrop].set(erow, mode="drop")
+    res_index = rp.res_index.at[flush_to].set(-1, mode="drop")
+    res_index = res_index.at[erow].set(
+        jnp.where(pair, vslot, -1), mode="drop")
+    rp = rp.replace(pool=rpool, backing=backing, res_index=res_index)
+
+    # per-entry slot map after adoption (-1 = staggered this frame)
+    eslot = jnp.where(bvalid, res_index[prow], -1)
+
+    # per-slot meta, rebuilt from the window each frame (so carve churn —
+    # coarsen allocs, GC frees, frustum exits — needs no event tracking)
+    tgt0 = jnp.where(is0 & (eslot >= 0), eslot, A)
+    rpos = jnp.zeros((A, 3), jnp.int32).at[tgt0].set(bpos, mode="drop")
+    ovalid = jnp.zeros((A,), bool).at[tgt0].set(True, mode="drop")
+    gdest = jnp.where(is1 & (eslot >= 0), eslot * 8 + carve, A * 8)
+    gpos = jnp.zeros((A * 8, 3), jnp.int32).at[gdest].set(
+        bpos, mode="drop").reshape(A, 8, 3)
+    gvalid = jnp.zeros((A * 8,), jnp.int32).at[gdest].set(
+        1, mode="drop").reshape(A, 8)
+    ovalid = ovalid | (jnp.sum(gvalid, axis=1) > 0)
+    return rp, pool, dict(ovalid=ovalid, rpos=rpos, gpos=gpos,
+                          gvalid=gvalid, eslot=eslot, ecarve=carve,
+                          p_demand=p_demand, q_demand=q_demand)
+
+
+def flush_release_rows(rp: ResidentPool, pool: VoxelPool, rows, mask):
+    """Flush the given big-pool rows' resident copies back to the big pool
+    (if backed) and drop their residency.  Used before an operation that
+    mutates those rows THROUGH THE BIG POOL (coarsen realloc +
+    reintegrate, GC sub-row clears): siblings sharing the row survive via
+    the flush, and the row re-adopts from the updated big copy next
+    frame.  `rows` i32[K] big row ids, `mask` bool[K]."""
+    R = rp.backing.shape[0]
+    n_big = rp.res_index.shape[0] - 1
+    # NOTE: `rows` may contain duplicates (several freed carves of one
+    # row) — duplicate writes carry identical row content, but do NOT
+    # declare unique_indices (that would be UB)
+    rs = rp.res_index[jnp.where(mask, rows, n_big)]
+    backed = mask & (rs >= 0)
+    slot = jnp.where(backed, rs, 0)
+    pool = pool.replace(**{
+        f: getattr(pool, f).at[jnp.where(backed, rows, n_big)].set(
+            getattr(rp.pool, f)[slot], mode="drop")
+        for f in _FIELDS})
+    rp = rp.replace(
+        backing=rp.backing.at[jnp.where(backed, rs, R)].set(
+            -1, mode="drop"),
+        res_index=rp.res_index.at[jnp.where(mask, rows, n_big)].set(
+            -1, mode="drop"))
+    return rp, pool
+
+
 def release_rows(rp: ResidentPool, big_rows, rslots, mask):
     """Drop residency of freed blocks (GC): their resident slots become
     unbacked vacancies and their big rows forget the slot.  The resident

@@ -179,8 +179,15 @@ class MapConfig:
     alloc_pixel_stride: int = 2              # stagger candidates over s^2 frames
     alloc_tile: int = 0                      # >1: per-tile min/max band alloc
     dda_extra_steps: int = 3
-    max_coarsen_per_frame: int = 1 << 12     # variance-merge queue
-    max_gc_free_per_frame: int = 1 << 12     # GC free+clear set per frame
+    max_coarsen_per_frame: int = 1 << 10     # variance-merge queue (the
+                                             # free/realloc/reintegrate
+                                             # chain costs by THIS static
+                                             # capacity whenever any block
+                                             # decides, not by actual work —
+                                             # coarsen+reintegrate measured
+                                             # ~33 ms gross at 4096, v5e)
+    max_gc_free_per_frame: int = 1 << 10     # GC free+clear set per frame
+                                             # (same capacity-cost rule)
     low_split_chunk: int = 1 << 10           # high blocks split per refill
     sample_patch: int = 16                   # per-block image patch side
     sample_fallback: int = 1 << 16           # out-of-patch lane budget
@@ -192,6 +199,12 @@ class MapConfig:
                                              # (adopt cost ~1 ms per 1k rows
                                              # paid even at zero churn, so keep
                                              # small; overflow staggers a frame)
+    resident_plain_rows: int = 0             # multi-res resident: slots
+                                             # [0, N) cache res-0 rows, slots
+                                             # [N, A) cache carve rows (kind-
+                                             # segregated kernel steps); must
+                                             # be a multiple of 16; 0 =
+                                             # resident multi-res disabled
 
     @property
     def metric_block_size(self) -> float:

@@ -109,10 +109,11 @@ class GeoWrapper:
             # route to the split pallas sampler inside the pipeline
             sample_mode = ("fused" if jax.default_backend() != "cpu"
                            else "gather")
-        # resident window cache (core/resident.py): fused single-res only
+        # resident window cache (core/resident.py): the fused path caches
+        # in-frustum pool rows contiguously; multi-res uses kind-segregated
+        # row slots (resident_plain_rows ladder, _bucket_cfg)
         resident_rows = (int(max_active_blocks)
-                         if sample_mode == "fused"
-                         and float(sdf_var_threshold) == 0.0 else 0)
+                         if sample_mode == "fused" else 0)
         self.cfg = MapConfig(
             resident_rows=resident_rows,
             sample_mode=sample_mode,
@@ -330,8 +331,33 @@ class GeoWrapper:
             # the kernel range (core/resident.py invariant)
             bucket = max(bucket, prev)
         bucket = min(bucket, self.cfg.max_active_blocks)
+
+        plain = int(self.cfg.resident_plain_rows)
+        if self.cfg.resident_rows > 0 and self.cfg.sdf_var_threshold > 0.0:
+            # multi-res resident: ladder the plain (res-0) region and keep
+            # the packed (carve-row) region big enough for last frame's
+            # demand; demand counts include rows still waiting for a slot,
+            # so a too-small region grows instead of starving entrants
+            p_need = max(int(getattr(self, "_last_res0_demand", 0)), 1)
+            q_need = max(int(getattr(self, "_last_rows1_demand", 0)), 1)
+            plain = max(-(-int(p_need * 1.4) // 4096) * 4096, 4096)
+            prev_plain = getattr(self, "_plain", 0)
+            if (prev_plain and plain < prev_plain
+                    and p_need * 1.4 > prev_plain * 0.6):
+                plain = prev_plain
+            need_total = plain + -(-int(q_need * 1.4) // 4096) * 4096
+            bucket = min(max(bucket, need_total),
+                         self.cfg.max_active_blocks)
+            plain = min(plain, bucket - 4096)
+            if plain != prev_plain or bucket != prev:
+                # region boundaries moved: sticky slots would land in the
+                # wrong region — flush + forget residency (bounded re-entry
+                # churn, core/resident.py)
+                self._drop_resident()
+            self._plain = plain
         self._bucket = bucket
-        return dataclasses.replace(self.cfg, max_active_blocks=bucket)
+        return dataclasses.replace(self.cfg, max_active_blocks=bucket,
+                                   resident_plain_rows=plain)
 
     # ---- bucket-ladder AOT compilation (kills recompile churn) ------------
     # Growing occupancy crosses 4096-granular window buckets; each crossing
@@ -431,6 +457,9 @@ class GeoWrapper:
             occupied = int(stats["occupied_blocks"])
             self._last_occupied = occupied
             self._high_free = int(stats["high_free"])
+            if "res0_demand" in stats:
+                self._last_res0_demand = int(stats["res0_demand"])
+                self._last_rows1_demand = int(stats["rows1_demand"])
         self.integration_profiler.write(occupied)
 
         if (self.gs_container is not None and self._depth_img is not None

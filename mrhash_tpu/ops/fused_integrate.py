@@ -7,7 +7,7 @@ sampler-kernel + XLA projection/fuse/scatter stages of ops/integrate.py
 (round-1 profile: the split pipeline cost ~4.2us per compacted-window slot;
 the separate stages re-streamed [A,512] f32 tensors through HBM ~10 times).
 
-Per grid step (BLOCKS_PER_STEP=b res-0 blocks):
+Per grid step (BLOCKS_PER_STEP=b row slots):
   1. batched [b,512] voxel lattice -> world -> camera -> pixel projection
      (VPU, all in VMEM; the XLA version materialized these in HBM);
   2. per block: slice the 2-channel f32 image patch (depth + rgb bit-packed
@@ -22,17 +22,39 @@ Per grid step (BLOCKS_PER_STEP=b res-0 blocks):
   5. batched [b,512] TSDF fuse: truncation, combineVoxel, Welford sum_squared
      (voxel_data_structures.cu:1162-1180), masked writeback.
 
+Multi-res mode (multires=True) packs sibling res-1 blocks — 64-lane carves
+of a SHARED pool row (hashtable carve layout, voxel_data_structures.cu:
+859-871) — into ONE row slot with per-group meta, instead of giving each
+carve its own 87.5%-padded slot.  Each slot's pool row is then unique, so
+the writeback is a plain row scatter-set and the slot count shrinks by the
+sibling density.  Group sampling runs as 4 PAIR dots per packed slot: the
+two groups' [120,256] patches stack along the contraction dim ([120,512] @
+[512,128] -> [120,128], output lanes = the pair's 128 slot lanes in order),
+costing 4x120x512x128 = 31.5M MACs — 4x less MXU work than the 8
+single-carve slots it replaces.
+
+The slot stream is SEGREGATED by kind (ops/integrate.pack_window_rows):
+res-0 slots first, packed res-1 slots after, starting on a step-aligned
+boundary.  Every grid step is therefore single-kind and the kernel branches
+ONCE per step on the kind lane — per-slot `pl.when` branches measured
+1.28us/slot vs 0.32us/slot for branch-free steps (v5e, A=36864).  The
+plain/packed branches only project + sample into scratch; the TSDF fuse and
+flag emission run once, shared, reading the scratch.
+
 Pool rows ride as ONE packed i32[A, 2176] operand (sdf|sumsq bitcast, weight,
-packed rgb, + per-block flag lanes) so each grid step issues 3 blocked DMAs
+packed rgb, + flag lanes) so each grid step issues 3 blocked DMAs
 (meta, pool in, pool out) — per-step DMA issue overhead measured ~6us/step
 with 5 operands in round 1.
 
-Out-of-patch lanes (near, large-footprint blocks) return depth 0 and are
-served by the caller's bounded element-wise fallback; per-block unserved
-counts are reported in flag lane 2048.  Flag lanes 2049/2050 carry the GC
-inputs (min |sdf| over weighted voxels, max weight) so the single-res GC
-sweep needs no extra row gathers (garbageCollectIdentifyKernel,
-voxel_data_structures.cu:1673-1713).
+Flag lanes (POOL_LANES + j):
+  0 unserved-lane count (in-image voxels whose pixel fell outside the patch)
+  1 min |sdf| over weighted lanes (GC identify input, full row)
+  2 max weight (full row)
+  3 weight total (coarsen decide input, checkVarSDFKernel)
+  4 sum of sum_squared over weighted lanes (f32 bitcast)
+  8+g / 16+g / 24+g: per-group unserved / min|sdf| / max-weight for packed
+  rows (g = lane//64 carve index) — the caller maps them back to the
+  per-block window entries so GC/coarsen need no row gathers.
 """
 from __future__ import annotations
 
@@ -45,10 +67,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 PATCH_H = 24          # 8-aligned row origin + 16 rows of coverage
 PATCH_W = 256         # 128-aligned col origin + 128 cols of coverage
+# res-1 carves span 2x the metric extent of a res-0 block, so their
+# projected footprint is ~2x taller; 24 rows starved ~1900 carve blocks
+# into the 128-block/frame element fallback at Replica settings (measured).
+# 80 rows guarantee +-32 px of row coverage after 8-alignment slack.
+PATCH_HP = 80         # packed-branch patch rows (res-1 carve groups)
 N_CH = 5              # d_hi, d_lo, r, g, b — all exactly representable in bf16
 LANES = 512           # voxels per res-0 block
+GRP = 64              # voxels per res-1 carve group
+PAIR = 2 * GRP        # output lanes of one packed-pair dot
 POOL_LANES = 4 * LANES          # sdf | sumsq | weight | rgbp
-OUT_LANES = POOL_LANES + 128    # + flag lanes (2048: unserved count)
+OUT_LANES = POOL_LANES + 128    # + flag lanes (layout above)
 # measured on v5e at A=2^15 (tools/kernel_bench.py): b=16 -> 10.4ms
 # (0.32us/slot), b=32 -> 10.7ms, b=8 -> a 7.5s Mosaic scheduling pathology
 # with fully-active windows.  16 leaves VMEM headroom; never use 8.
@@ -61,13 +90,31 @@ BLOCKS_PER_STEP = 16
 CAM_VEC_LEN = 128
 DEPTH_Q = 2048.0      # depth quantization 1/2048 m ~ 0.5 mm (exact bf16 split)
 
+FAR_F32 = 3e38
+
 
 def _bitcast(x, dtype):
     return jax.lax.bitcast_convert_type(x, dtype)
 
 
-def _kernel(b, emit_delta, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
-            img_vmem, sampd_ref, sampp_ref, inp_ref, copy_sem):
+def _split5(patch_d, patch_p):
+    """Depth+packed-rgb f32 patches -> stacked 5-channel bf16 [5*H, W].
+    All channel values are integers < 256 (or the d_hi quotient < 256 for
+    depths under 32 m), hence bf16-exact."""
+    dq = jnp.floor(patch_d * DEPTH_Q + 0.5)           # integer-valued f32
+    d_hi = jnp.floor(dq * (1.0 / 256.0))
+    d_lo = dq - d_hi * 256.0
+    pg = jnp.floor(patch_p * (1.0 / 256.0))
+    pb = jnp.floor(pg * (1.0 / 256.0))
+    cr_ = patch_p - pg * 256.0
+    cg_ = pg - pb * 256.0
+    return jnp.concatenate([d_hi, d_lo, cr_, cg_, pb],
+                           axis=0).astype(jnp.bfloat16)
+
+
+def _kernel(b, multires, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
+            img_vmem, sampd_ref, sampp_ref, inp_ref, pcz_ref, okv_ref,
+            copy_sem):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -80,60 +127,59 @@ def _kernel(b, emit_delta, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
 
     @pl.when(step_active == 0)
     def _():
-        if emit_delta:
-            out_ref[...] = jnp.zeros((b, OUT_LANES), jnp.int32)
-        else:
-            out_ref[:, :POOL_LANES] = pool_ref[...]
-            out_ref[:, POOL_LANES:] = jnp.zeros((b, 128), jnp.int32)
+        out_ref[:, :POOL_LANES] = pool_ref[...]
+        out_ref[:, POOL_LANES:] = jnp.zeros((b, 128), jnp.int32)
 
-    @pl.when(step_active != 0)
-    def _():
-        fx = cam_ref[0, 0]
-        fy = cam_ref[0, 1]
-        cx = cam_ref[0, 2]
-        cy = cam_ref[0, 3]
-        min_d = cam_ref[0, 4]
-        max_d = cam_ref[0, 5]
-        r00, r01, r02 = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
-        r10, r11, r12 = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
-        r20, r21, r22 = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
-        tx, ty, tz = cam_ref[0, 15], cam_ref[0, 16], cam_ref[0, 17]
-        vvs = cam_ref[0, 18]
-        t0 = cam_ref[0, 19]
-        t1 = cam_ref[0, 20]
-        max_int = cam_ref[0, 21]
-        w_samp = cam_ref[0, 22]
-        w_max = cam_ref[0, 23]
-        rows_f = cam_ref[0, 24]
-        cols_f = cam_ref[0, 25]
-        hpad = cam_ref[0, 26]
-        wpad = cam_ref[0, 27]
+    # ---- shared scalar loads + closures -----------------------------------
+    fx = cam_ref[0, 0]
+    fy = cam_ref[0, 1]
+    cx = cam_ref[0, 2]
+    cy = cam_ref[0, 3]
+    min_d = cam_ref[0, 4]
+    max_d = cam_ref[0, 5]
+    r00, r01, r02 = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+    r10, r11, r12 = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+    r20, r21, r22 = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
+    tx, ty, tz = cam_ref[0, 15], cam_ref[0, 16], cam_ref[0, 17]
+    vvs = cam_ref[0, 18]
+    t0 = cam_ref[0, 19]
+    t1 = cam_ref[0, 20]
+    max_int = cam_ref[0, 21]
+    w_samp = cam_ref[0, 22]
+    w_max = cam_ref[0, 23]
+    rows_f = cam_ref[0, 24]
+    cols_f = cam_ref[0, 25]
+    hpad = cam_ref[0, 26]
+    wpad = cam_ref[0, 27]
+    hpi = hpad.astype(jnp.int32)
+    wpi = wpad.astype(jnp.int32)
 
-        # ---- batched [b,512] lattice -> pixel projection -------------------
-        # meta lane 4 = block resolution (0: 8^3 dense row; 1: 4^3 carved
-        # 64-lane window at lane0 = meta lane 5); local lane -> voxel offset
-        # mirrors _block_voxel_grid (dense res-1 indexing fix, ops/coords.py)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
-        res1 = meta_ref[:, 4:5] == 1                          # [b,1]
-        lane0 = meta_ref[:, 5:6]                              # [b,1]
-        local = lane - lane0
-        in_win = (local >= 0) & (local < jnp.where(res1, 64, LANES))
-        lsafe = jnp.clip(local, 0, LANES - 1)
-        off0x = (lsafe % 8).astype(jnp.float32)
-        off0y = ((lsafe // 8) % 8).astype(jnp.float32)
-        off0z = (lsafe // 64).astype(jnp.float32)
-        l4 = jnp.clip(local, 0, 63)
-        off1x = ((l4 % 4) * 2).astype(jnp.float32)
-        off1y = (((l4 // 4) % 4) * 2).astype(jnp.float32)
-        off1z = ((l4 // 16) * 2).astype(jnp.float32)
-        offx = jnp.where(res1, off1x, off0x)
-        offy = jnp.where(res1, off1y, off0y)
-        offz = jnp.where(res1, off1z, off0z)
-        bx = meta_ref[:, 0:1].astype(jnp.float32)             # [b,1]
-        by = meta_ref[:, 1:2].astype(jnp.float32)
-        bz = meta_ref[:, 2:3].astype(jnp.float32)
-        bvalid = (meta_ref[:, 3:4] != 0) & in_win             # [b,512]
+    def origin_of(crow, ccol, ph=PATCH_H):
+        # floor-div alignment (projected centers may be negative for
+        # off-image blocks; python-style floor division keeps origins
+        # in range)
+        r0 = jnp.clip(((crow - ph // 2) // 8) * 8, 0, hpi - ph)
+        c0 = jnp.clip(((ccol - PATCH_W // 2) // 128) * 128,
+                      0, wpi - PATCH_W)
+        return pl.multiple_of(r0, 8), pl.multiple_of(c0, 128)
 
+    def center_rc(bxk, byk, bzk):
+        # block-center projection (scalar math, mirrors _sample_depth_rgb's
+        # r0/c0 and _patch_origins)
+        cwx = (bxk * 8.0 + 3.5) * vvs - tx
+        cwy = (byk * 8.0 + 3.5) * vvs - ty
+        cwz = (bzk * 8.0 + 3.5) * vvs - tz
+        ccx = cwx * r00 + cwy * r10 + cwz * r20
+        ccy = cwx * r01 + cwy * r11 + cwz * r21
+        ccz = cwx * r02 + cwy * r12 + cwz * r22
+        czs = jnp.where(ccz == 0.0, 1.0, ccz)
+        crow = (fy * ccy / czs + cy + 0.5).astype(jnp.int32)
+        ccol = (fx * ccx / czs + cx + 0.5).astype(jnp.int32)
+        return crow, ccol
+
+    def project_store(bx, by, bz, offx, offy, offz, valid_lane):
+        """[b,512] lattice -> pixel projection; persists pcz + ok to scratch
+        for the shared fuse stage; returns (row, col, ok) for sampling."""
         pwx = (bx * 8.0 + offx) * vvs - tx
         pwy = (by * 8.0 + offy) * vvs - ty
         pwz = (bz * 8.0 + offz) * vvs - tz
@@ -151,55 +197,46 @@ def _kernel(b, emit_delta, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
         col = colf.astype(jnp.int32)
         # C truncation toward zero maps (-1,0) to 0, which then passes the
         # row >= 0 test — the reference's exact quirk (camera.cuh:131-165)
-        ok = (bvalid & depth_ok & (row >= 0) & (col >= 0)
+        ok = (valid_lane & depth_ok & (row >= 0) & (col >= 0)
               & (row.astype(jnp.float32) < rows_f)
               & (col.astype(jnp.float32) < cols_f))
+        pcz_ref[...] = pcz
+        okv_ref[...] = ok.astype(jnp.int32)
+        return row, col, ok
 
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (PATCH_W, LANES), 0)
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANES), 1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (PATCH_W, LANES), 0)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (PATCH_H, LANES), 0)
 
-        # ---- per-block patch sampling (scalar core + MXU) ------------------
+    if multires:
+        step_kind = jnp.max(meta_ref[:, 4])
+        plain_pred = (step_active != 0) & (step_kind == 0)
+    else:
+        plain_pred = step_active != 0
+
+    # ---- plain steps: one res-0 block per slot, dense 8^3 row -------------
+    @pl.when(plain_pred)
+    def _():
+        bx = meta_ref[:, 0:1].astype(jnp.float32)             # [b,1]
+        by = meta_ref[:, 1:2].astype(jnp.float32)
+        bz = meta_ref[:, 2:3].astype(jnp.float32)
+        valid_lane = meta_ref[:, 3:4] != 0                    # [b,1]->[b,512]
+        offx = (lane % 8).astype(jnp.float32)
+        offy = ((lane // 8) % 8).astype(jnp.float32)
+        offz = (lane // 64).astype(jnp.float32)
+        row, col, ok = project_store(bx, by, bz, offx, offy, offz,
+                                     valid_lane)
+
         for k in range(b):
-            # patch origin from the block-center projection (scalar math,
-            # mirrors _sample_depth_rgb's r0/c0)
-            bxk = meta_ref[k, 0].astype(jnp.float32)
-            byk = meta_ref[k, 1].astype(jnp.float32)
-            bzk = meta_ref[k, 2].astype(jnp.float32)
-            cwx = (bxk * 8.0 + 3.5) * vvs - tx
-            cwy = (byk * 8.0 + 3.5) * vvs - ty
-            cwz = (bzk * 8.0 + 3.5) * vvs - tz
-            ccx = cwx * r00 + cwy * r10 + cwz * r20
-            ccy = cwx * r01 + cwy * r11 + cwz * r21
-            ccz = cwx * r02 + cwy * r12 + cwz * r22
-            czs = jnp.where(ccz == 0.0, 1.0, ccz)
-            crow = (fy * ccy / czs + cy + 0.5).astype(jnp.int32)
-            ccol = (fx * ccx / czs + cx + 0.5).astype(jnp.int32)
-            hpi = hpad.astype(jnp.int32)
-            wpi = wpad.astype(jnp.int32)
-            # floor-div alignment (crow may be negative for off-image
-            # centers; python-style floor division keeps origins in range)
-            r0 = jnp.clip(((crow - PATCH_H // 2) // 8) * 8,
-                          0, hpi - PATCH_H)
-            c0 = jnp.clip(((ccol - PATCH_W // 2) // 128) * 128,
-                          0, wpi - PATCH_W)
-            r0 = pl.multiple_of(r0, 8)
-            c0 = pl.multiple_of(c0, 128)
+            crow, ccol = center_rc(meta_ref[k, 0].astype(jnp.float32),
+                                   meta_ref[k, 1].astype(jnp.float32),
+                                   meta_ref[k, 2].astype(jnp.float32))
+            r0, c0 = origin_of(crow, ccol)
+            patch5 = _split5(
+                img_vmem[0, pl.ds(r0, PATCH_H), pl.ds(c0, PATCH_W)],
+                img_vmem[1, pl.ds(r0, PATCH_H), pl.ds(c0, PATCH_W)])
 
-            dpatch = img_vmem[0, pl.ds(r0, PATCH_H), pl.ds(c0, PATCH_W)]
-            ppatch = img_vmem[1, pl.ds(r0, PATCH_H), pl.ds(c0, PATCH_W)]
-
-            # 5 bf16-exact channels stacked along sublanes [120,256]
-            dq = jnp.floor(dpatch * DEPTH_Q + 0.5)        # integer-valued f32
-            d_hi = jnp.floor(dq * (1.0 / 256.0))
-            d_lo = dq - d_hi * 256.0
-            pg = jnp.floor(ppatch * (1.0 / 256.0))
-            pb = jnp.floor(pg * (1.0 / 256.0))
-            cr_ = ppatch - pg * 256.0
-            cg_ = pg - pb * 256.0
-            patch5 = jnp.concatenate(
-                [d_hi, d_lo, cr_, cg_, pb], axis=0).astype(jnp.bfloat16)
-
-            lrk = row[k:k + 1, :] - r0                    # [1,512]
+            lrk = row[k:k + 1, :] - r0                        # [1,512]
             lck = col[k:k + 1, :] - c0
             in_p = (ok[k:k + 1, :] & (lrk >= 0) & (lrk < PATCH_H)
                     & (lck >= 0) & (lck < PATCH_W))
@@ -207,31 +244,117 @@ def _kernel(b, emit_delta, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
             lcs = jnp.where(in_p, lck, 0)
 
             # column-select-first: ohc lane-major [256,512] -> ONE dot
-            ohc = (iota_c == lcs).astype(jnp.bfloat16)    # [256,512]
+            ohc = (iota_c == lcs).astype(jnp.bfloat16)        # [256,512]
             tmp = jax.lax.dot_general(
                 patch5, ohc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [120,512]
+                preferred_element_type=jnp.float32)           # [120,512]
 
-            # row-select: masked sublane reduce (in_p zeroes unserved lanes)
+            # row-select: masked sublane reduce (in_p zeroes unserved)
             ohr = ((iota_r == lrs) & in_p).astype(jnp.float32)  # [24,512]
-            s_dhi = jnp.sum(tmp[0:PATCH_H] * ohr, axis=0, keepdims=True)
-            s_dlo = jnp.sum(tmp[PATCH_H:2 * PATCH_H] * ohr, axis=0,
-                            keepdims=True)
-            s_r = jnp.sum(tmp[2 * PATCH_H:3 * PATCH_H] * ohr, axis=0,
-                          keepdims=True)
-            s_g = jnp.sum(tmp[3 * PATCH_H:4 * PATCH_H] * ohr, axis=0,
-                          keepdims=True)
-            s_b = jnp.sum(tmp[4 * PATCH_H:5 * PATCH_H] * ohr, axis=0,
-                          keepdims=True)
+            s = [jnp.sum(tmp[c * PATCH_H:(c + 1) * PATCH_H] * ohr,
+                         axis=0, keepdims=True) for c in range(N_CH)]
 
-            sampd_ref[k:k + 1, :] = (s_dhi * 256.0 + s_dlo) * (1.0 / DEPTH_Q)
-            sampp_ref[k:k + 1, :] = s_r + s_g * 256.0 + s_b * 65536.0
+            sampd_ref[k:k + 1, :] = (s[0] * 256.0 + s[1]) * (1.0 / DEPTH_Q)
+            sampp_ref[k:k + 1, :] = s[2] + s[3] * 256.0 + s[4] * 65536.0
             inp_ref[k:k + 1, :] = in_p.astype(jnp.int32)
 
-        # ---- batched TSDF fuse + Welford variance --------------------------
+    # ---- packed steps (multires): 8 res-1 carve groups per slot -----------
+    if multires:
+        @pl.when((step_active != 0) & (step_kind != 0))
+        def _():
+            grp = lane // GRP
+
+            def gsel(base):
+                acc = jnp.zeros((b, LANES), jnp.int32)
+                for j in range(8):
+                    acc = jnp.where(grp == j,
+                                    meta_ref[:, base + 4 * j:
+                                             base + 4 * j + 1], acc)
+                return acc
+
+            bx = gsel(8).astype(jnp.float32)
+            by = gsel(9).astype(jnp.float32)
+            bz = gsel(10).astype(jnp.float32)
+            valid_lane = gsel(11) != 0
+            local = lane % GRP
+            # res-1 carve offsets: 4^3 samples at 2x spacing
+            offx = ((local % 4) * 2).astype(jnp.float32)
+            offy = (((local // 4) % 4) * 2).astype(jnp.float32)
+            offz = ((local // 16) * 2).astype(jnp.float32)
+            row, col, ok = project_store(bx, by, bz, offx, offy, offz,
+                                         valid_lane)
+
+            iota_cp = jax.lax.broadcasted_iota(jnp.int32,
+                                               (2 * PATCH_W, PAIR), 0)
+            iota_rp = jax.lax.broadcasted_iota(jnp.int32, (PATCH_HP, PAIR),
+                                               0)
+            jhalf = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR), 1) >= GRP
+
+            for k in range(b):
+                # 4 unconditional pair dots; each serves groups (2p, 2p+1)
+                # with their OWN patches stacked along the contraction dim.
+                # Invalid groups sample garbage that ok/valid_lane masks.
+                for p_ in range(4):
+                    ga, gb_ = 2 * p_, 2 * p_ + 1
+                    l0 = p_ * PAIR
+                    ra, ca = center_rc(
+                        meta_ref[k, 8 + 4 * ga].astype(jnp.float32),
+                        meta_ref[k, 9 + 4 * ga].astype(jnp.float32),
+                        meta_ref[k, 10 + 4 * ga].astype(jnp.float32))
+                    rb, cb = center_rc(
+                        meta_ref[k, 8 + 4 * gb_].astype(jnp.float32),
+                        meta_ref[k, 9 + 4 * gb_].astype(jnp.float32),
+                        meta_ref[k, 10 + 4 * gb_].astype(jnp.float32))
+                    r0a, c0a = origin_of(ra, ca, PATCH_HP)
+                    r0b, c0b = origin_of(rb, cb, PATCH_HP)
+                    pair5 = jnp.concatenate([
+                        _split5(img_vmem[0, pl.ds(r0a, PATCH_HP),
+                                         pl.ds(c0a, PATCH_W)],
+                                img_vmem[1, pl.ds(r0a, PATCH_HP),
+                                         pl.ds(c0a, PATCH_W)]),
+                        _split5(img_vmem[0, pl.ds(r0b, PATCH_HP),
+                                         pl.ds(c0b, PATCH_W)],
+                                img_vmem[1, pl.ds(r0b, PATCH_HP),
+                                         pl.ds(c0b, PATCH_W)]),
+                    ], axis=1)                                # [400, 512]
+
+                    lrk = (row[k:k + 1, l0:l0 + PAIR]
+                           - jnp.where(jhalf, r0b, r0a))      # [1,128]
+                    lck = (col[k:k + 1, l0:l0 + PAIR]
+                           - jnp.where(jhalf, c0b, c0a))
+                    in_p = (ok[k:k + 1, l0:l0 + PAIR]
+                            & (lrk >= 0) & (lrk < PATCH_HP)
+                            & (lck >= 0) & (lck < PATCH_W))
+                    lrs = jnp.where(in_p, lrk, 0)
+                    # group B's patch occupies contraction cols
+                    # [PATCH_W, 2*PATCH_W)
+                    lcs = (jnp.where(in_p, lck, 0)
+                           + jnp.where(jhalf, PATCH_W, 0))
+
+                    ohc = (iota_cp == lcs).astype(jnp.bfloat16)  # [512,128]
+                    tmp = jax.lax.dot_general(
+                        pair5, ohc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)      # [400,128]
+
+                    ohr = ((iota_rp == lrs) & in_p).astype(jnp.float32)
+                    s = [jnp.sum(tmp[c * PATCH_HP:(c + 1) * PATCH_HP] * ohr,
+                                 axis=0, keepdims=True)
+                         for c in range(N_CH)]
+
+                    sampd_ref[k:k + 1, l0:l0 + PAIR] = (
+                        (s[0] * 256.0 + s[1]) * (1.0 / DEPTH_Q))
+                    sampp_ref[k:k + 1, l0:l0 + PAIR] = (
+                        s[2] + s[3] * 256.0 + s[4] * 65536.0)
+                    inp_ref[k:k + 1, l0:l0 + PAIR] = in_p.astype(jnp.int32)
+
+    # ---- shared TSDF fuse + Welford variance + flags ----------------------
+    @pl.when(step_active != 0)
+    def _():
         depth = sampd_ref[...]                            # [b,512]
         pk = sampp_ref[...].astype(jnp.int32)
         in_patch = inp_ref[...] != 0
+        pcz = pcz_ref[...]
+        ok = okv_ref[...] != 0
 
         sdf0 = _bitcast(pool_ref[:, 0:LANES], jnp.float32)
         ssq0 = _bitcast(pool_ref[:, LANES:2 * LANES], jnp.float32)
@@ -243,7 +366,7 @@ def _kernel(b, emit_delta, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
         trunc = t0 + t1 * depth
         inside = sdf > -trunc
         sdf = jnp.clip(sdf, -trunc, trunc)
-        update = bvalid & depth_ok2 & inside
+        update = depth_ok2 & inside
 
         w0f = w0.astype(jnp.float32)
         half = vvs * 0.5
@@ -277,50 +400,58 @@ def _kernel(b, emit_delta, img_hbm, cam_ref, meta_ref, pool_ref, out_ref,
         out_w = jnp.where(update, m_w, w0)
         out_rgbp = jnp.where(update, rgbp_m, rgbp0)
 
-        if emit_delta:
-            # delta emission for the multi-res add-writeback: sibling
-            # res-1 blocks share pool rows, so the caller accumulates
-            # `new - old` row deltas; emitting them in-kernel saves the
-            # XLA-side old-row gathers + subtractions entirely
-            upd = update
-            zf = jnp.float32(0.0)
-            zi = jnp.int32(0)
-            out_ref[:, 0:LANES] = _bitcast(
-                jnp.where(upd, out_sdf - sdf0, zf), jnp.int32)
-            out_ref[:, LANES:2 * LANES] = _bitcast(
-                jnp.where(upd, out_ssq - ssq0, zf), jnp.int32)
-            out_ref[:, 2 * LANES:3 * LANES] = jnp.where(upd, out_w - w0, zi)
-            out_ref[:, 3 * LANES:4 * LANES] = jnp.where(
-                upd, out_rgbp - rgbp0, zi)
-        else:
-            out_ref[:, 0:LANES] = _bitcast(out_sdf, jnp.int32)
-            out_ref[:, LANES:2 * LANES] = _bitcast(out_ssq, jnp.int32)
-            out_ref[:, 2 * LANES:3 * LANES] = out_w
-            out_ref[:, 3 * LANES:4 * LANES] = out_rgbp
+        out_ref[:, 0:LANES] = _bitcast(out_sdf, jnp.int32)
+        out_ref[:, LANES:2 * LANES] = _bitcast(out_ssq, jnp.int32)
+        out_ref[:, 2 * LANES:3 * LANES] = out_w
+        out_ref[:, 3 * LANES:4 * LANES] = out_rgbp
 
-        # flag lanes: 2048 unserved count; 2049/2050 GC inputs
-        n_uns = jnp.sum((ok & ~in_patch).astype(jnp.int32), axis=1,
-                        keepdims=True)                               # [b,1]
-        abs_s = jnp.where(out_w > 0, jnp.abs(out_sdf), jnp.float32(3e38))
+        # ---- flag lanes (layout in the module docstring) ------------------
+        # group lanes are emitted unconditionally under multires; for plain
+        # steps they hold sub-row stats of res-0 rows, which no caller reads
+        # (per-entry mapping picks group lanes only for res-1 entries)
+        unserved = (ok & ~in_patch).astype(jnp.int32)
+        n_uns = jnp.sum(unserved, axis=1, keepdims=True)             # [b,1]
+        abs_s = jnp.where(out_w > 0, jnp.abs(out_sdf), jnp.float32(FAR_F32))
         min_s = jnp.min(abs_s, axis=1, keepdims=True)                # [b,1]
         max_w = jnp.max(out_w, axis=1, keepdims=True)                # [b,1]
-        out_ref[:, POOL_LANES:] = jnp.concatenate(
-            [n_uns, _bitcast(min_s, jnp.int32), max_w,
-             jnp.zeros((b, 125), jnp.int32)], axis=1)
+        w_tot = jnp.sum(out_w, axis=1, keepdims=True)
+        ssq_tot = jnp.sum(jnp.where(out_w > 0, out_ssq, 0.0), axis=1,
+                          keepdims=True)
+        parts = [n_uns, _bitcast(min_s, jnp.int32), max_w, w_tot,
+                 _bitcast(ssq_tot, jnp.int32), jnp.zeros((b, 3), jnp.int32)]
+        if multires:
+            grp = lane // GRP
+            for j in range(8):
+                in_g = grp == j
+                parts.append(jnp.sum(jnp.where(in_g, unserved, 0), axis=1,
+                                     keepdims=True))
+            for j in range(8):
+                in_g = grp == j
+                parts.append(_bitcast(jnp.min(
+                    jnp.where(in_g, abs_s, jnp.float32(FAR_F32)),
+                    axis=1, keepdims=True), jnp.int32))
+            for j in range(8):
+                in_g = grp == j
+                parts.append(jnp.max(jnp.where(in_g, out_w, 0), axis=1,
+                                     keepdims=True))
+            parts.append(jnp.zeros((b, 128 - 32), jnp.int32))
+        else:
+            parts.append(jnp.zeros((b, 128 - 8), jnp.int32))
+        out_ref[:, POOL_LANES:] = jnp.concatenate(parts, axis=1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "b", "emit_delta"))
+@functools.partial(jax.jit, static_argnames=("interpret", "b", "multires"))
 def fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows,
                            interpret=False, b=BLOCKS_PER_STEP,
-                           emit_delta=False):
+                           multires=False):
     """img_cf f32[2,Hpad,Wpad] (depth, rgb packed exactly into f32);
     cam_vec f32[1,128] (layout above); meta i32[A,128] (0..2 block pos,
-    3 valid); pool_rows i32[A,2048] (sdf|sumsq bitcast, weight, rgbp).
-    A % b == 0.  Returns i32[A,2176]: updated pool rows (or, with
-    emit_delta, zero-masked `new - old` row deltas for an add-writeback)
-    + flag lanes (2048 = count of in-image voxels whose pixel fell
-    outside the patch)."""
+    3 valid, 4 kind (1 = packed res-1 row), 8+4g..11+4g per-group
+    bx/by/bz/valid for packed rows); pool_rows i32[A,2048] (sdf|sumsq
+    bitcast, weight, rgbp).  A % b == 0, and the slot stream must be
+    kind-segregated so each b-slot step is single-kind
+    (ops/integrate.pack_window_rows).  Returns i32[A,2176]: updated pool
+    rows + flag lanes (layout in the module docstring)."""
     A = meta.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -340,11 +471,13 @@ def fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows,
             pltpu.VMEM((b, LANES), jnp.float32),   # sampled depth
             pltpu.VMEM((b, LANES), jnp.float32),   # sampled packed rgb
             pltpu.VMEM((b, LANES), jnp.int32),     # in-patch mask
+            pltpu.VMEM((b, LANES), jnp.float32),   # projected camera z
+            pltpu.VMEM((b, LANES), jnp.int32),     # lattice-projection ok
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     call = pl.pallas_call(
-        functools.partial(_kernel, b, emit_delta),
+        functools.partial(_kernel, b, multires),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((A, OUT_LANES), jnp.int32),
         interpret=interpret,

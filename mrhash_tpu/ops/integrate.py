@@ -664,19 +664,84 @@ def _patch_origins(cam: C.Camera, bpos, vvs, hpad, wpad, ph, pw):
     return r0, c0
 
 
+def pack_window_rows(cfg: MapConfig, bpos, bptr, bres, bvalid, n_pool_rows,
+                     step: int = 16):
+    """Group the compacted per-block window by POOL ROW for the fused
+    kernel: res-0 blocks own their row; sibling res-1 blocks (64-lane
+    carves of a shared row, hashtable carve layout: low id l occupies
+    lanes [(l%8)*64, (l%8)*64+64) of row l//8) pack into ONE row slot with
+    per-group meta.  Row-unique slots let the kernel write each pool row
+    exactly once (set, not delta-add) and are the invariant the resident
+    window cache requires (one backing row per slot).
+
+    Slot layout is SEGREGATED by kind so every kernel grid step is
+    single-path: res-0 slots first (window order), then — starting on a
+    `step`-aligned boundary — the packed res-1 row slots.  The kernel
+    branches once per STEP on the kind lane instead of once per slot
+    (per-slot `pl.when` branches measured 4x the single-res per-slot cost).
+    If the packed segment overflows A (possible only when the window bucket
+    is nearly full), the tail rows get no slot this frame: their entries
+    report eslot=-1 and the caller staggers them to the element fallback.
+
+    Returns a dict of row-slot arrays [A]: rvalid, rrow, rres, rpos
+    (res-0 slot's block pos) and group arrays gpos [A,8,3] / gvalid [A,8]
+    (packed rows), plus per-ENTRY maps eslot [A] (the row slot serving
+    window entry e; -1 for invalid/unslotted entries) and ecarve [A] (its
+    64-lane group index; 0 for res-0)."""
+    A = bptr.shape[0]
+    S = n_pool_rows  # sentinel row id for invalid entries / dump cells
+    arange = jnp.arange(A, dtype=jnp.int32)
+    prow = jnp.where(bvalid, bptr // LANES, S)
+    carve = jnp.where(bvalid, (bptr % LANES) // P.TOTAL_LOW_BLOCK_SIZE, 0)
+    is0 = bvalid & (bres == 0)
+    is1 = bvalid & (bres == 1)
+
+    # row leader = the first window entry holding each res-1 row (res-0
+    # entries lead their own row unconditionally: high-heap rows are unique)
+    row_first = jnp.full((S + 1,), A, jnp.int32).at[
+        jnp.where(is1, prow, S)].min(arange)
+    lead1 = is1 & (row_first[prow] == arange)
+
+    idx0, ok0, cnt0 = H.compact_indices(is0, A)
+    idx1, _, cnt1 = H.compact_indices(lead1, A)
+    base1 = -(-cnt0 // step) * step          # packed segment step-aligned
+    j = arange - base1
+    take1 = (j >= 0) & (j < cnt1)
+    src = jnp.where(ok0, idx0, jnp.where(take1, idx1[jnp.clip(j, 0, A - 1)],
+                                         A))
+    rok = src < A
+    src_c = jnp.where(rok, src, 0)
+    rrow = jnp.where(rok, prow[src_c], S)
+    rres = jnp.where(rok, bres[src_c], 0)
+    rpos = jnp.where((rok & (rres == 0))[:, None], bpos[src_c], 0)
+
+    slot_of_row = jnp.full((S + 1,), -1, jnp.int32).at[rrow].set(arange)
+    eslot = jnp.where(bvalid, slot_of_row[prow], -1)
+
+    # packed-row group meta: scatter each res-1 entry into its carve group
+    gdest = jnp.where(is1 & (eslot >= 0), eslot * 8 + carve, A * 8)
+    gpos = jnp.zeros((A * 8, 3), jnp.int32).at[gdest].set(
+        bpos, mode="drop").reshape(A, 8, 3)
+    gvalid = jnp.zeros((A * 8,), jnp.int32).at[gdest].set(
+        1, mode="drop").reshape(A, 8)
+    return dict(rvalid=rok, rrow=rrow, rres=rres, rpos=rpos,
+                gpos=gpos, gvalid=gvalid, eslot=eslot, ecarve=carve)
+
+
 def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
                           pc_depth, rgb_img, bpos, bptr, bres, bvalid,
-                          frame=None, resident=False):
+                          frame=None, resident=False, resident_meta=None):
     """One-kernel depth integration over the compacted window: pack pool
     rows, run the fused Pallas kernel, scatter rows back, then serve
     out-of-patch lanes of up to sample_fallback/512 blocks with the
     element-wise XLA path (rotated by frame so overflow staggers instead of
     starving the same blocks).
 
-    Multi-res windows ride the same kernel: the meta carries res + lane0 and
-    the kernel masks its fuse to the block's carved 64-lane window; the
-    writeback then uses window-granular scatters (sibling res-1 blocks share
-    a pool row, so whole-row scatters would collide).
+    Multi-res windows ride the same kernel with ROW-PACKED slots
+    (pack_window_rows): sibling res-1 carves share one slot, every slot's
+    pool row is unique, and the writeback is a plain row scatter-set.  The
+    kernel's per-group flag lanes are mapped back to the per-block window
+    entries, so GC and the coarsen decision need no row gathers either.
 
     With resident=True, `pool` is the resident window cache (core/resident):
     the window is already ordered so block i lives at pool row i, so the
@@ -685,16 +750,28 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     (measured 17.2 -> 7.3 ms/frame at A=20480).  `bptr` is ignored for row
     addressing in this mode (it carries the BIG-pool ptr for the caller).
 
-    Returns (pool', aux) with aux = dict(gc_min_s[A], gc_max_w[A],
-    unserved_blocks scalar) — the GC flags come free from the kernel (valid
-    for res-0 rows only; the multi-res GC keeps the gather path)."""
+    With resident_meta (multi-res resident, core/resident.adopt_window_rows):
+    `pool` is the resident cache holding kind-segregated ROW slots; meta
+    comes from the adoption dict (rpos/gpos/gvalid/ovalid) and the
+    pack/gather/scatter machinery disappears entirely — contiguous slice
+    read + write.  Entries whose row missed the churn cap (eslot=-1)
+    integrate nothing this frame and are NOT routed to the element
+    fallback (it addresses the resident pool, which lacks their rows);
+    they stagger to the next frame's adoption.
+
+    Returns (pool', aux).  Single-res aux = dict(gc_min_s[A], gc_max_w[A],
+    unserved_blocks scalar); multires aux = dict(gc_decision[A] bool,
+    coarsen_decide[A] bool, unserved_blocks scalar) — per-entry decisions
+    derived per-slot from the kernel flag lanes (see the bitmask block
+    below) so GC and the coarsen gate need no row gathers."""
     from mrhash_tpu.ops import fused_integrate as FI
 
     H_, W_ = pc_depth.shape
     A = bpos.shape[0]
-    hpad = max(((H_ + 7) // 8) * 8, FI.PATCH_H)
-    wpad = max(((W_ + 127) // 128) * 128, FI.PATCH_W)
     multires = cfg.sdf_var_threshold > 0.0
+    hpad = max(((H_ + 7) // 8) * 8,
+               FI.PATCH_HP if multires else FI.PATCH_H)
+    wpad = max(((W_ + 127) // 128) * 128, FI.PATCH_W)
 
     packed = (rgb_img[..., 0].astype(jnp.float32)
               + rgb_img[..., 1].astype(jnp.float32) * 256.0
@@ -708,27 +785,54 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
         cfg.integration_weight_sample, cfg.integration_weight_max,
         hpad, wpad)
 
-    if resident:
-        if multires:
-            raise NotImplementedError(
-                "resident window mode covers single-resolution only")
-        prow = jnp.arange(A, dtype=jnp.int32)
-        lane0 = jnp.zeros((A,), jnp.int32)
-    else:
-        prow, lane0 = _block_rows(bptr, bvalid)
-    meta = jnp.zeros((A, 128), jnp.int32)
-    meta = meta.at[:, :3].set(jnp.where(bvalid[:, None], bpos, 0))
-    meta = meta.at[:, 3].set(bvalid.astype(jnp.int32))
-    if multires:
-        meta = meta.at[:, 4].set(jnp.where(bvalid, bres, 0))
-        meta = meta.at[:, 5].set(lane0)
-
     cast = jax.lax.bitcast_convert_type
-    if resident:
+    n_rows = pool.sdf.shape[0]
+    meta = jnp.zeros((A, 128), jnp.int32)
+    if resident_meta is not None:
+        assert multires and cfg.resident_plain_rows > 0
+        rm = resident_meta
+        A0 = int(cfg.resident_plain_rows)
+        lane0 = rm["ecarve"] * P.TOTAL_LOW_BLOCK_SIZE
+        kind = (jnp.arange(A, dtype=jnp.int32) >= A0).astype(jnp.int32)
+        meta = meta.at[:, :3].set(rm["rpos"])
+        meta = meta.at[:, 3].set(rm["ovalid"].astype(jnp.int32))
+        meta = meta.at[:, 4].set(kind)
+        gmeta = jnp.concatenate(
+            [rm["gpos"], rm["gvalid"][..., None]], axis=2).reshape(A, 32)
+        meta = meta.at[:, 8:40].set(gmeta)
         pool_rows = jnp.concatenate(
             [cast(pool.sdf[:A], jnp.int32), cast(pool.sumsq[:A], jnp.int32),
              pool.weight[:A], pool.rgbp[:A]], axis=1)
+    elif resident:
+        if multires:
+            raise NotImplementedError(
+                "multi-res resident mode needs resident_meta "
+                "(cfg.resident_plain_rows > 0)")
+        prow = jnp.arange(A, dtype=jnp.int32)
+        lane0 = jnp.zeros((A,), jnp.int32)
+        meta = meta.at[:, :3].set(jnp.where(bvalid[:, None], bpos, 0))
+        meta = meta.at[:, 3].set(bvalid.astype(jnp.int32))
+        pool_rows = jnp.concatenate(
+            [cast(pool.sdf[:A], jnp.int32), cast(pool.sumsq[:A], jnp.int32),
+             pool.weight[:A], pool.rgbp[:A]], axis=1)
+    elif multires:
+        rw = pack_window_rows(cfg, bpos, bptr, bres, bvalid, n_rows)
+        _, lane0 = _block_rows(bptr, bvalid)
+        meta = meta.at[:, :3].set(rw["rpos"])
+        meta = meta.at[:, 3].set(rw["rvalid"].astype(jnp.int32))
+        meta = meta.at[:, 4].set(jnp.where(rw["rvalid"], rw["rres"], 0))
+        gmeta = jnp.concatenate(
+            [rw["gpos"], rw["gvalid"][..., None]], axis=2).reshape(A, 32)
+        meta = meta.at[:, 8:40].set(gmeta)
+        rrow_c = jnp.where(rw["rvalid"], rw["rrow"], 0)
+        pool_rows = jnp.concatenate(
+            [cast(pool.sdf[rrow_c], jnp.int32),
+             cast(pool.sumsq[rrow_c], jnp.int32),
+             pool.weight[rrow_c], pool.rgbp[rrow_c]], axis=1)
     else:
+        prow, lane0 = _block_rows(bptr, bvalid)
+        meta = meta.at[:, :3].set(jnp.where(bvalid[:, None], bpos, 0))
+        meta = meta.at[:, 3].set(bvalid.astype(jnp.int32))
         pool_rows = jnp.concatenate(
             [cast(pool.sdf[prow], jnp.int32),
              cast(pool.sumsq[prow], jnp.int32),
@@ -736,35 +840,32 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
 
     out = FI.fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows,
                                     interpret=cfg.pallas_interpret,
-                                    emit_delta=multires)
+                                    multires=multires)
 
     L = LANES
-    if multires:
-        # delta-add writeback: the kernel emits zero-masked `new - old`
-        # row deltas (old rows were already in VMEM), so sibling res-1
-        # blocks sharing a pool row accumulate without conflict and no
-        # old-row gather or XLA-side subtraction is needed
-        n_rows = pool.sdf.shape[0]
-        rows_all = jnp.where(bvalid, prow, n_rows)
-        pool = pool.replace(
-            sdf=pool.sdf.at[rows_all].add(cast(out[:, 0:L], jnp.float32),
-                                          mode="drop"),
-            sumsq=pool.sumsq.at[rows_all].add(
-                cast(out[:, L:2 * L], jnp.float32), mode="drop"),
-            weight=pool.weight.at[rows_all].add(out[:, 2 * L:3 * L],
-                                                mode="drop"),
-            rgbp=pool.rgbp.at[rows_all].add(out[:, 3 * L:4 * L],
-                                            mode="drop"))
-    elif resident:
+    if resident_meta is not None or resident:
         # contiguous slice update (HBM bandwidth; in-place on the donated
-        # resident arrays) — block i's row IS resident row i
+        # resident arrays) — slot i's row IS resident row i
         pool = pool.replace(
             sdf=pool.sdf.at[:A].set(cast(out[:, 0:L], jnp.float32)),
             sumsq=pool.sumsq.at[:A].set(cast(out[:, L:2 * L], jnp.float32)),
             weight=pool.weight.at[:A].set(out[:, 2 * L:3 * L]),
             rgbp=pool.rgbp.at[:A].set(out[:, 3 * L:4 * L]))
+    elif multires:
+        # every row slot owns its pool row exclusively -> plain set
+        rows_w = jnp.where(rw["rvalid"], rw["rrow"], n_rows)
+        pool = pool.replace(
+            sdf=pool.sdf.at[rows_w].set(cast(out[:, 0:L], jnp.float32),
+                                        mode="drop", unique_indices=True),
+            sumsq=pool.sumsq.at[rows_w].set(cast(out[:, L:2 * L],
+                                                 jnp.float32),
+                                            mode="drop", unique_indices=True),
+            weight=pool.weight.at[rows_w].set(out[:, 2 * L:3 * L],
+                                              mode="drop",
+                                              unique_indices=True),
+            rgbp=pool.rgbp.at[rows_w].set(out[:, 3 * L:4 * L],
+                                          mode="drop", unique_indices=True))
     else:
-        n_rows = pool.sdf.shape[0]
         row0 = jnp.where(bvalid, prow, n_rows)
         pool = pool.replace(
             sdf=pool.sdf.at[row0].set(cast(out[:, 0:L], jnp.float32),
@@ -776,12 +877,61 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
             rgbp=pool.rgbp.at[row0].set(out[:, 3 * L:4 * L],
                                         mode="drop", unique_indices=True))
 
-    aux = dict(gc_min_s=cast(out[:, 4 * L + 1], jnp.float32),
-               gc_max_w=out[:, 4 * L + 2])
+    if multires:
+        # map per-slot / per-group flag lanes back to per-ENTRY decisions.
+        # The consumers only need BOOLEANS (GC free?, coarsen?, unserved?),
+        # so the decision math runs per-SLOT on the slot-major flag block
+        # (pure VPU), packs into ONE int32 bitmask per slot, and the
+        # per-entry map is a single [A]-element gather + variable shifts —
+        # the previous [A,32] row gather + 5 take_along_axis measured
+        # 9.8 ms/frame at A=36864 on v5e (sub-512-lane rows decompose to
+        # the ~6 ms/M element tax); this form is ~1 ms.
+        # Word layout: bit0 res-0 GC, bit1 res-0 coarsen-decide, bit2
+        # res-0 unserved; bits 8+g group-g GC, bits 16+g group-g unserved.
+        emap = rw if resident_meta is None else resident_meta
+        slotted = emap["eslot"] >= 0
+        eslot_c = jnp.where(bvalid & slotted, emap["eslot"], 0)
+        flags = out[:, 4 * L:4 * L + 32]                    # [A,32]
+        is1e = bvalid & (bres == 1)
+        crv = emap["ecarve"]
+
+        trunc_max = X.get_truncation(cam.max_depth, cfg.sdf_truncation,
+                                     cfg.sdf_truncation_scale)
+        min_s0 = cast(flags[:, 1], jnp.float32)
+        max_w0 = flags[:, 2]
+        w_tot0 = flags[:, 3].astype(jnp.float32)
+        ssq_t0 = cast(flags[:, 4], jnp.float32)
+        gc0 = (min_s0 >= trunc_max) | (max_w0 == 0)
+        # checkVarSDFKernel decision (voxel_data_structures.cu:1856-1905)
+        avg_var = ssq_t0 / jnp.maximum(w_tot0 - 1.0, 1e-12)
+        co0 = ((w_tot0 >= 2) & (avg_var > 0.0)
+               & (avg_var < cfg.sdf_var_threshold))
+        gmin = cast(flags[:, 16:24], jnp.float32)           # [A,8]
+        gmax = flags[:, 24:32]
+        gcg = (gmin >= trunc_max) | (gmax == 0)
+        gsh = 1 << (8 + jnp.arange(8, dtype=jnp.int32))
+        ush = 1 << (16 + jnp.arange(8, dtype=jnp.int32))
+        word = (gc0.astype(jnp.int32)
+                + (co0.astype(jnp.int32) << 1)
+                + ((flags[:, 0] > 0).astype(jnp.int32) << 2)
+                + jnp.sum(jnp.where(gcg, gsh[None, :], 0), axis=1)
+                + jnp.sum(jnp.where(flags[:, 8:16] > 0, ush[None, :], 0),
+                          axis=1))
+        ew = word[eslot_c]                                  # [A] gather
+        bit = lambda sh: ((ew >> sh) & 1) != 0
+        uns_b = jnp.where(slotted, bit(jnp.where(is1e, 16 + crv, 2)),
+                          resident_meta is None)
+        aux = dict(
+            gc_decision=slotted & bit(jnp.where(is1e, 8 + crv, 0)),
+            coarsen_decide=(slotted & bvalid & (bres == 0) & bit(1)))
+    else:
+        uns_b = out[:, 4 * L] > 0
+        aux = dict(gc_min_s=cast(out[:, 4 * L + 1], jnp.float32),
+                   gc_max_w=out[:, 4 * L + 2])
 
     # --- bounded element-wise fallback for out-of-patch (near) blocks -------
     BB = int(cfg.sample_fallback) // L
-    bneed = bvalid & (out[:, 4 * L] > 0)
+    bneed = bvalid & uns_b
     # rotate the served set with the frame so overflow staggers rather than
     # starving the same near blocks every frame
     if frame is not None:
@@ -798,18 +948,32 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
     fb_pos = bpos[bsel]
     fb_res = bres[bsel]
     fb_lane0 = lane0[bsel]
+    # per-entry patch rows mirroring the kernel: res-1 carves use the
+    # taller PATCH_HP footprint
+    ph_fb = (jnp.where(fb_res == 1, FI.PATCH_HP, FI.PATCH_H)
+             if multires else FI.PATCH_H)
     r0, c0 = _patch_origins(cam, fb_pos, cfg.virtual_voxel_size,
-                            hpad, wpad, FI.PATCH_H, FI.PATCH_W)
+                            hpad, wpad, ph_fb, FI.PATCH_W)
     pif, _ = _block_voxel_grid(fb_pos, fb_res,
                                fb_lane0 if multires else None)
     pf = X.virtual_voxel_pos_to_world(cfg.virtual_voxel_size, pif)
     row, col, okp = C.project_point(cam, C.world_to_cam(cam, pf))
     lr = row - r0[:, None]
     lc = col - c0[:, None]
-    out_of_patch = ~((lr >= 0) & (lr < FI.PATCH_H)
+    ph_b = ph_fb[:, None] if multires else FI.PATCH_H
+    out_of_patch = ~((lr >= 0) & (lr < ph_b)
                      & (lc >= 0) & (lc < FI.PATCH_W))
     fcfg = dataclasses.replace(cfg, sample_mode="gather")
-    fb_ptr = bsel * LANES if resident else bptr[bsel]
+    if resident_meta is not None:
+        # resident-space ptr: slot row * 512 + carve window offset (only
+        # slotted entries reach here — unslotted ones report unserved=0)
+        rm_ptr = (jnp.maximum(resident_meta["eslot"], 0) * LANES
+                  + resident_meta["ecarve"] * P.TOTAL_LOW_BLOCK_SIZE)
+        fb_ptr = rm_ptr[bsel]
+    elif resident:
+        fb_ptr = bsel * LANES
+    else:
+        fb_ptr = bptr[bsel]
     pool = integrate_depth(fcfg, pool, cam, pc_depth, rgb_img,
                            fb_pos, fb_ptr, bres[bsel], bok,
                            lane_mask=out_of_patch)
@@ -980,18 +1144,12 @@ def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
 # garbage collection
 # ---------------------------------------------------------------------------
 
-def starve_voxels(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
-                  bpos, bptr, bres, bvalid):
-    """starveVoxelsKernel z-buffer (voxel_data_structures.cu:1596-1671): the
-    front-most voxel per pixel gets its weight decremented.
-
-    The winner test reads the z-buffer back per voxel THROUGH THE PATCH
-    SAMPLER (the z-buffer is an image) instead of an element-wise gather —
-    two 16.7M-element gathers plus the tie-break pass measured 662ms/event
-    on v5e; this formulation costs one scatter-min + one sampler pass.
-    Deviation D11 (DESIGN.md): voxels tied at the exact same f32 depth all
-    starve (the reference tie-breaks to the lowest thread id); ties between
-    distinct voxels are measure-zero and starvation is a decay heuristic."""
+def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid):
+    """Geometry half of starveVoxelsKernel: the [A,512] mask of front-most
+    (per pixel) window voxels.  Reads no pool data — callers apply the
+    weight decrement via apply_starve (possibly split across pools, as the
+    multi-res resident pipeline does for rows coarsening released
+    mid-frame)."""
     vvs = cfg.virtual_voxel_size
     prow, lane0 = _block_rows(bptr, bvalid)
     pi, lane_valid = _block_voxel_grid(bpos, bres, lane0)
@@ -1025,12 +1183,35 @@ def starve_voxels(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
         starved = (ok.reshape(-1)
                    & (d == zbuf[jnp.where(pix < HW, pix, 0)])).reshape(
             (-1, LANES))
+    return starved
 
+
+def apply_starve(cfg: MapConfig, pool: VoxelPool, bptr, bres, bvalid,
+                 starved):
+    """Decrement the weights of the starved lanes (window-masked row
+    writeback)."""
+    prow, lane0 = _block_rows(bptr, bvalid)
     w0 = pool.weight[prow]
     return _scatter_block_rows(
-        pool, prow, bres, bvalid, starved,
+        pool, prow, bres, bvalid, starved & bvalid[:, None],
         dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0),
         multires=cfg.sdf_var_threshold > 0.0, lane0=lane0)
+
+
+def starve_voxels(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
+                  bpos, bptr, bres, bvalid):
+    """starveVoxelsKernel z-buffer (voxel_data_structures.cu:1596-1671): the
+    front-most voxel per pixel gets its weight decremented.
+
+    The winner test reads the z-buffer back per voxel THROUGH THE PATCH
+    SAMPLER (the z-buffer is an image) instead of an element-wise gather —
+    two 16.7M-element gathers plus the tie-break pass measured 662ms/event
+    on v5e; this formulation costs one scatter-min + one sampler pass.
+    Deviation D11 (DESIGN.md): voxels tied at the exact same f32 depth all
+    starve (the reference tie-breaks to the lowest thread id); ties between
+    distinct voxels are measure-zero and starvation is a decay heuristic."""
+    starved = starve_mask(cfg, cam, bpos, bptr, bres, bvalid)
+    return apply_starve(cfg, pool, bptr, bres, bvalid, starved)
 
 
 def _clear_blocks(pool: VoxelPool, bptr, bres, mask, multires=True):
@@ -1055,15 +1236,18 @@ def _clear_blocks(pool: VoxelPool, bptr, bres, mask, multires=True):
 def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
                           pool: VoxelPool, cam: C.Camera,
                           slots, bpos, bptr, bres, bvalid,
-                          kernel_flags=None, resident_rp=None):
+                          kernel_flags=None, resident_rp=None,
+                          kernel_decision=None):
     """garbageCollectIdentify + Free (voxel_data_structures.cu:1673-1854):
     free blocks whose min |sdf| exceeds the max-depth truncation or whose max
     weight is zero.
 
     kernel_flags = (min_abs_sdf[A], max_w[A]) from the fused integrate
-    kernel's flag lanes: skips the w/sdf row gathers.  On starve frames the
-    flags predate the starvation decrement, so a block starved to weight 0
-    is freed one frame later (deviation D12, DESIGN.md).
+    kernel's flag lanes: skips the w/sdf row gathers.  kernel_decision =
+    the per-entry free decision already computed (bool[A], multires fused
+    path).  On starve frames the flags predate the starvation decrement,
+    so a block starved to weight 0 is freed one frame later (deviation
+    D12, DESIGN.md).
 
     With resident_rp (core/resident mode), the window is in resident-slot
     order, `pool` is the BIG pool (freed rows are zeroed there for heap
@@ -1071,7 +1255,10 @@ def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
     (table, pool, rp') instead of (table, pool)."""
     trunc_max = X.get_truncation(cam.max_depth, cfg.sdf_truncation,
                                  cfg.sdf_truncation_scale)
-    if kernel_flags is not None:
+    if kernel_decision is not None:
+        decision = bvalid & kernel_decision
+        prow, lane0 = _block_rows(bptr, bvalid)
+    elif kernel_flags is not None:
         min_s, max_w = kernel_flags
         decision = bvalid & ((min_s >= trunc_max) | (max_w == 0))
         prow, lane0 = _block_rows(bptr, bvalid)
@@ -1095,8 +1282,21 @@ def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
     didx, dvalid, _ = H.compact_indices(decision, K)
     didx_c = jnp.where(dvalid, didx, 0)
     table, ptrs, fres, freed = H.free_slots(table, slots[didx_c], dvalid)
-    pool = _clear_blocks(pool, ptrs, fres, freed,
-                         multires=cfg.sdf_var_threshold > 0.0)
+    multires = cfg.sdf_var_threshold > 0.0
+    if resident_rp is not None and multires:
+        # multi-res resident: freed carves share rows with live siblings —
+        # flush the resident copies to the big pool BEFORE zeroing the
+        # freed windows there, then drop residency (rows re-adopt from the
+        # updated big copy next frame)
+        from mrhash_tpu.core import resident as RES
+        assert kernel_decision is not None, (
+            "multi-res resident GC needs the kernel decision (the "
+            "big-pool rows are stale)")
+        rp, pool = RES.flush_release_rows(resident_rp, pool,
+                                          ptrs // LANES, freed)
+        pool = _clear_blocks(pool, ptrs, fres, freed, multires=True)
+        return table, pool, rp
+    pool = _clear_blocks(pool, ptrs, fres, freed, multires=multires)
     if resident_rp is not None:
         from mrhash_tpu.core import resident as RES
         rp = RES.release_rows(resident_rp, ptrs // LANES, didx_c, freed)
@@ -1134,8 +1334,11 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     are freed and re-allocated at res 1 (drawing from the low heap, refilled
     by splitting high blocks when short).
 
-    Returns (table', pool', new_slots[u], new_mask[u]) — the re-allocated
-    coarse blocks to re-integrate."""
+    Returns (table', pool', new_slots[u], new_mask[u], served[A]) — the
+    re-allocated coarse blocks to re-integrate, and the window entries
+    freed this call (callers must exclude them from later same-frame
+    passes over the pre-coarsen window: their hash slots are free and
+    their rows cleared/reusable)."""
     if decide is None:
         decide = coarsen_decide(cfg, pool, bptr, bres, bvalid)
 
@@ -1165,7 +1368,7 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
                                 enable=table.low_count < need)
 
     table, info = H.insert(table, rkeys, rvalid, jnp.ones((u,), jnp.int32))
-    return table, pool, info["slot"], info["was_new"]
+    return table, pool, info["slot"], info["was_new"], freed
 
 
 def reintegrate_blocks(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,

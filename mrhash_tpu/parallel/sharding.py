@@ -161,16 +161,19 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
         # pipeline, core/pipeline.py:68-82) --------------------------------
         if cfg.sdf_var_threshold > 0.0:
             def do_coarsen(table, pool):
-                t, p, new_slots, new_mask = I.coarsen_by_variance(
+                t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
                     lcfg, table, pool, slots, bpos, bptr, bres, bvalid)
                 p = I.reintegrate_blocks(lcfg, t, p, cam, pc_depth, rgb,
                                          new_slots, new_mask)
-                return t, p
+                return t, p, freed
 
-            table, pool = jax.lax.cond(frame > 0, do_coarsen,
-                                       lambda t, p: (t, p), table, pool)
-            slots, count, bpos, bptr, bres, bvalid = I.compact_active(
-                lcfg, table, cam)
+            # mirrors the single-chip pipeline's no-recompact order
+            # (deviation D18): starve/GC below run on the pre-coarsen
+            # window minus the entries coarsening freed
+            table, pool, coarsen_freed = jax.lax.cond(
+                frame > 0, do_coarsen,
+                lambda t, p: (t, p, jnp.zeros_like(bvalid)), table, pool)
+            bvalid = bvalid & ~coarsen_freed
 
         # --- garbage collection with a global z-buffer -------------------
         if cfg.n_frames_invalidate_voxels > 0:
@@ -319,7 +322,7 @@ def sharded_integrate_points(cfg: MapConfig, mesh: Mesh):
 
         if cfg.sdf_var_threshold > 0.0:
             def do_coarsen(table, pool):
-                t, p, _, _ = I.coarsen_by_variance(
+                t, p, _, _, _ = I.coarsen_by_variance(
                     lcfg, table, pool, slots, bpos, bptr, bres, bvalid)
                 return t, p
 

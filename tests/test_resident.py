@@ -117,3 +117,37 @@ def test_resident_churn_cap_staggers():
     starved = [k for k, v in wref.items() if v >= 3
                and wgot.get(k, 0) == 0]
     assert not starved, f"churn cap permanently starved {len(starved)} blocks"
+
+
+def test_resident_multires_matches_plain_fused():
+    """Multi-res (variance coarsening) resident row-slot cache vs the
+    non-resident packed fused path: bit-identical big pool + table after
+    flush, across coarsen (res-0 rows freed, carve rows allocated), GC
+    frees of carves with live siblings, starvation, and fallback-served
+    near blocks.  Regions + churn sized so nothing staggers (stagger
+    semantics are covered by the single-res churn test)."""
+    # regions must cover the scene (~700 res-0 blocks at frame 0, ~90
+    # carve rows after coarsening): a smaller plain region staggers the
+    # overflow — correct but not bit-equal to the always-served reference
+    mkw = dict(sdf_var_threshold=1.0, max_coarsen_per_frame=256,
+               max_gc_free_per_frame=256)
+    ref = _run(dataclasses.replace(_cfg(**mkw),
+                                   max_active_blocks=1 << 11),
+               n_frames=6, move=0.02)
+    got = _run(dataclasses.replace(_cfg(resident_rows=1 << 11,
+                                        resident_churn=1 << 11,
+                                        resident_plain_rows=1 << 10, **mkw),
+                                   max_active_blocks=1 << 11),
+               n_frames=6, move=0.02)
+    assert got.resident is not None, "residency did not engage"
+
+    np.testing.assert_array_equal(got.table.ptr, ref.table.ptr)
+    np.testing.assert_array_equal(got.table.pos, ref.table.pos)
+    np.testing.assert_array_equal(got.table.res, ref.table.res)
+    assert int(np.sum(np.asarray(ref.table.res) == 1)) > 0, \
+        "scene never coarsened — the multi-res path was not exercised"
+    np.testing.assert_array_equal(got.pool.weight, ref.pool.weight)
+    assert int(np.sum(ref.pool.weight)) > 1000, "scene integrated nothing"
+    np.testing.assert_array_equal(got.pool.sdf, ref.pool.sdf)
+    np.testing.assert_array_equal(got.pool.sumsq, ref.pool.sumsq)
+    np.testing.assert_array_equal(got.pool.rgbp, ref.pool.rgbp)

@@ -66,24 +66,51 @@ def bench_multires():
 
     step = pipeline.jit_integrate_rgbd(cfg)
     occ_max = 0
+    res0_max = 0
     for i in range(n_warmup):
         state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
         occ_max = max(occ_max, int(stats["occupied_blocks"]))
+        res0_max = max(res0_max, int(stats.get("res0_blocks", 0)))
     bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
-    cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
+    if sample_mode == "fused":
+        # resident row-slot cache (core/resident.py): plain region sized to
+        # the sticky res-0 claim (~every res-0 row seen over an orbit),
+        # packed region takes the rest of the bucket
+        plain = max(-(-int(res0_max * 1.4) // 4096) * 4096, 4096)
+        grow = plain + 4096 - bucket
+        if grow > 0:
+            bucket = min(bucket + -(-grow // 4096) * 4096,
+                         cfg.max_active_blocks)
+        plain = min(plain, bucket - 4096)
+        cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                      resident_rows=bucket,
+                                      resident_plain_rows=plain,
+                                      resident_churn=1 << 11)
+        from mrhash_tpu.core.state import make_resident
+        state = state.replace(resident=make_resident(cfg.num_blocks, bucket))
+    else:
+        cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
     step = pipeline.jit_integrate_rgbd(cfg_run)
-    state, stats = step(state, frame_cam(n_warmup), depths[n_warmup % orbit],
-                        rgb)
-    jax.block_until_ready(state)
-    print(f"# multires: occ_max {occ_max}, bucket {bucket}, "
+    # one settling orbit: residency adoption churn drains, coarsening
+    # converges under the final bucket
+    for i in range(n_warmup, 2 * n_warmup):
+        state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
+    jax.block_until_ready(stats["occupied_blocks"])
+    print(f"# multires: occ_max {occ_max}, res0_max {res0_max}, "
+          f"bucket {bucket}, "
           f"high_free {int(stats['high_free'])}, "
-          f"low_free {int(stats['low_free'])}", file=sys.stderr)
+          f"low_free {int(stats['low_free'])}, "
+          f"unserved {int(stats['unserved_blocks'])}", file=sys.stderr)
+    if "res0_demand" in stats:
+        print(f"# resident: plain {cfg_run.resident_plain_rows}, "
+              f"res0_demand {int(stats['res0_demand'])}, "
+              f"rows1_demand {int(stats['rows1_demand'])}", file=sys.stderr)
 
     t0 = time.perf_counter()
-    for i in range(n_warmup + 1, n_warmup + 1 + n_frames):
+    for i in range(2 * n_warmup, 2 * n_warmup + n_frames):
         state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
-    state = jax.block_until_ready(state)
+    final_occ_fence = int(stats["occupied_blocks"])  # host fetch = real fence
     dt = (time.perf_counter() - t0) / n_frames
     final_occ = int(stats["occupied_blocks"])
     fps = 1.0 / dt

@@ -137,11 +137,72 @@ def main():
             return _psum(p2)
         clock("multires_row_writeback", f_wb, pool)
 
+    if "pack" in which:
+        @jax.jit
+        def f_pack(bptr):
+            rw = I.pack_window_rows(cfg, bpos, bptr, bres, bvalid,
+                                    pool.sdf.shape[0])
+            return sum(jnp.sum(v[:1].astype(jnp.float32)) for v in
+                       (rw["rrow"], rw["eslot"], rw["gvalid"].ravel()))
+        clock("pack_window_rows", f_pack, bptr)
+
+    if "kernel" in which:
+        from mrhash_tpu.ops import fused_integrate as FI
+        import mrhash_tpu.params as P2
+        cast = jax.lax.bitcast_convert_type
+        hpad = -(-rows // 8) * 8 + FI.PATCH_H
+        wpad = -(-cols // 128) * 128 + FI.PATCH_W
+        img_cf = jnp.zeros((2, hpad, wpad), jnp.float32).at[
+            0, :rows, :cols].set(pc_depth)
+        cam_vec = FI.make_cam_vec(
+            cam, cfg.virtual_voxel_size, cfg.sdf_truncation,
+            cfg.sdf_truncation_scale, cfg.max_integration_distance,
+            cfg.integration_weight_sample, cfg.integration_weight_max,
+            hpad, wpad)
+        rw = I.pack_window_rows(cfg, bpos, bptr, bres, bvalid,
+                                pool.sdf.shape[0])
+        A = bptr.shape[0]
+        meta = jnp.zeros((A, 128), jnp.int32)
+        meta = meta.at[:, :3].set(rw["rpos"])
+        meta = meta.at[:, 3].set(rw["rvalid"].astype(jnp.int32))
+        meta = meta.at[:, 4].set(jnp.where(rw["rvalid"], rw["rres"], 0))
+        gmeta = jnp.concatenate(
+            [rw["gpos"], rw["gvalid"][..., None]], axis=2).reshape(A, 32)
+        meta = meta.at[:, 8:40].set(gmeta)
+        rrow_c = jnp.where(rw["rvalid"], rw["rrow"], 0)
+        pool_rows = jnp.concatenate(
+            [cast(pool.sdf[rrow_c], jnp.int32),
+             cast(pool.sumsq[rrow_c], jnp.int32),
+             pool.weight[rrow_c], pool.rgbp[rrow_c]], axis=1)
+        n_pack = int(jnp.sum(rw["rvalid"] & (rw["rres"] == 1)))
+        n_plain = int(jnp.sum(rw["rvalid"] & (rw["rres"] == 0)))
+        print(f"# kernel slots: {n_plain} plain + {n_pack} packed "
+              f"(window entries {int(jnp.sum(bvalid))})", file=sys.stderr)
+
+        @jax.jit
+        def f_kern(pool_rows):
+            out = FI.fused_integrate_pallas(img_cf, cam_vec, meta, pool_rows,
+                                            multires=True)
+            return jnp.sum(out[:1, :8])
+        clock("kernel[packed-multires]", f_kern, pool_rows)
+
+        @jax.jit
+        def f_gather(bptr):
+            rw = I.pack_window_rows(cfg, bpos, bptr, bres, bvalid,
+                                    pool.sdf.shape[0])
+            rrow_c = jnp.where(rw["rvalid"], rw["rrow"], 0)
+            pr = jnp.concatenate(
+                [cast(pool.sdf[rrow_c], jnp.int32),
+                 cast(pool.sumsq[rrow_c], jnp.int32),
+                 pool.weight[rrow_c], pool.rgbp[rrow_c]], axis=1)
+            return jnp.sum(pr[:1, :8])
+        clock("pack+row_gather", f_gather, bptr)
+
     if "coarsen" in which:
         @jax.jit
         def f_coarsen(table, pool):
-            t2, p2, ns, nm = I.coarsen_by_variance(cfg, table, pool, slots,
-                                                   bpos, bptr, bres, bvalid)
+            t2, p2, ns, nm, _ = I.coarsen_by_variance(
+                cfg, table, pool, slots, bpos, bptr, bres, bvalid)
             return t2.high_count.astype(jnp.float32) + _psum(p2)
         clock("coarsen_by_variance", f_coarsen, table, pool)
 
