@@ -88,19 +88,24 @@ def main():
         frames.append((rot, t, cam, depth, rgb))
 
     recs = []
-    # ---- map integration so check_nodes sees weight==1 voxels ------------
-    for rot, t, cam, depth, rgb in frames:
-        gw.setCurrPose(t, _rot_to_quat(rot))
-        gw.setDepthImage(depth)
-        gw.setRGBImage(rgb)
-        gw.compute()
-
-    # ---- online GS frame: warmup (compiles) then timed --------------------
+    # ---- interleaved integrate -> runGS, the reference's per-frame order
+    # (geowrapper.cpp compute(): integrate, then runGS on the SAME frame).
+    # Seeding gates on TSDF weight == 1 (once-observed voxels), so running
+    # GS only after all frames are integrated would see weight==2 voxels
+    # everywhere and seed almost nothing (measured: PSNR 11.7 dB).
     rot, t, cam0, depth0, rgb0 = frames[0]
+    gw.setCurrPose(t, _rot_to_quat(rot))
+    gw.setDepthImage(depth0)
+    gw.setRGBImage(rgb0)
+    gw.compute()
     gc.run_gs(gw.cfg, cam0, gw.state, rgb0, depth0)   # warmup + seed
     jax.block_until_ready(gc.model.params["xyz"])
     n0 = gc.model.count
     rot, t, cam1, depth1, rgb1 = frames[1]
+    gw.setCurrPose(t, _rot_to_quat(rot))
+    gw.setDepthImage(depth1)
+    gw.setRGBImage(rgb1)
+    gw.compute()
     t0 = time.perf_counter()
     gc.run_gs(gw.cfg, cam1, gw.state, rgb1, depth1)
     jax.block_until_ready(gc.model.params["xyz"])
