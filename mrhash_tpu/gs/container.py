@@ -61,9 +61,9 @@ def check_nodes(cfg, table, pool, cam: C.Camera, leaves, leaf_valid,
 
 class GaussianContainer:
     def __init__(self, optimization_param_path: str, capacity: int = 1 << 19,
-                 qtree_capacity: int = 1 << 15):
+                 qtree_capacity: int = 1 << 15, initial_size: int = 1 << 12):
         self.p = OptimizationParams(optimization_param_path or None)
-        self.model = GaussianModel(self.p, capacity)
+        self.model = GaussianModel(self.p, capacity, initial_size)
         self.qtree_capacity = qtree_capacity
         self.keyframes: list[tuple] = []   # (cam_dict, gt_img f32[3,H,W])
         self._rng = np.random.default_rng(0)

@@ -74,7 +74,11 @@ def main():
                     gs_optimization_param_path="", num_blocks=1 << 15)
     gw.setCamera(fx, fx, cols / 2 - 0.5, rows / 2 - 0.5, rows, cols,
                  0.01, 30.0)
-    gc = GaussianContainer("", capacity=1 << 18)
+    # preallocate the steady-state parameter bucket (the reference
+    # preallocates max capacity, gaussian.cu:104-145): bucket growth between
+    # the two frames would otherwise recompile the train step inside the
+    # timed region (~10 s over the axon link)
+    gc = GaussianContainer("", capacity=1 << 18, initial_size=1 << 14)
 
     rng = np.random.default_rng(0)
     frames = []
@@ -98,15 +102,30 @@ def main():
     gw.setDepthImage(depth0)
     gw.setRGBImage(rgb0)
     gw.compute()
+    # the fused RGB-D step caches in-frustum pool rows in the resident
+    # window (core/resident.py); sync the big pool before check_nodes
+    # reads voxel weights, as GeoWrapper.compute() does for its own GS hook
+    gw._flush_resident()
     gc.run_gs(gw.cfg, cam0, gw.state, rgb0, depth0)   # warmup + seed
     jax.block_until_ready(gc.model.params["xyz"])
     n0 = gc.model.count
+    # prewarm the seed-insert pad ladder (one jit per power-of-4 pad,
+    # model.py add_gaussians): frame 2's seed count lands on a smaller pad
+    # than frame 1's, which would compile inside the timed region.  A
+    # zero-count call writes nothing (dest lanes all drop).
+    for pad in (256, 1024, 4096, 16384):
+        p3 = jnp.zeros((pad, 3), jnp.float32)
+        gc.model.params = gc.model._insert_fn(pad)(
+            gc.model.params, p3, p3, jnp.ones((pad,), jnp.float32),
+            jnp.int32(gc.model.count), jnp.int32(0))
+    jax.block_until_ready(gc.model.params["xyz"])
     rot, t, cam1, depth1, rgb1 = frames[1]
     gw.setCurrPose(t, _rot_to_quat(rot))
     gw.setDepthImage(depth1)
     gw.setRGBImage(rgb1)
     gw.compute()
     t0 = time.perf_counter()
+    gw._flush_resident()   # part of the per-frame GS cost (compute() hook)
     gc.run_gs(gw.cfg, cam1, gw.state, rgb1, depth1)
     jax.block_until_ready(gc.model.params["xyz"])
     dt = (time.perf_counter() - t0) * 1e3
