@@ -267,30 +267,50 @@ def integrate_points(cfg: MapConfig, state: MapState, cam: C.Camera,
     table = I.alloc_blocks(cfg, state.table, keys, valid, state.frame)
 
     slots, count, bpos, bptr, bres, bvalid = I.compact_active(cfg, table)
-    pool = I.integrate_points_sdf(cfg, table, state.pool, cam, points,
-                                  normals, weights, point_valid,
-                                  num_voxel_steps, frame=state.frame,
-                                  window=(slots, bpos, bptr, bres, bvalid))
+    unserved = None
+    fused = cfg.sample_mode == "fused" and cfg.projective_sdf
+    if fused:
+        # voxel-centric fused Pallas path (deviation D19, DESIGN.md):
+        # rasterize the scan to a range image, one kernel pass over the
+        # compacted window instead of the per-point voxel walk
+        pool, iaux = I.fused_integrate_points(
+            cfg, table, state.pool, cam, points, normals, weights,
+            point_valid, state.frame,
+            window=(slots, bpos, bptr, bres, bvalid))
+        unserved = iaux["unserved_blocks"]
+    else:
+        pool = I.integrate_points_sdf(cfg, table, state.pool, cam, points,
+                                      normals, weights, point_valid,
+                                      num_voxel_steps, frame=state.frame,
+                                      window=(slots, bpos, bptr, bres,
+                                              bvalid))
 
     if cfg.sdf_var_threshold > 0.0:
-        decide = I.coarsen_decide(cfg, pool, bptr, bres, bvalid)
+        # fused path: the decision rides the kernel's flag lanes (no pool
+        # row gathers)
+        decide = (iaux["coarsen_decide"] if fused
+                  else I.coarsen_decide(cfg, pool, bptr, bres, bvalid))
 
         def do_coarsen(table, pool):
-            t, p, new_slots, new_mask, _ = I.coarsen_by_variance(
+            t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
                 cfg, table, pool, slots, bpos, bptr, bres, bvalid,
                 decide=decide)
             # NOTE: reference quirk preserved — the 3D reintegrate wrapper
             # launches the plain integrate kernel (voxel_data_structures.cu:
             # 1560-1580), which only touches frustum-projected voxels; for
             # the 3D path new coarse blocks are refilled on later frames.
-            return (t, p) + I.compact_active(cfg, t)
+            return t, p, freed
 
         def skip(table, pool):
-            return (table, pool, slots, count, bpos, bptr, bres, bvalid)
+            return table, pool, jnp.zeros_like(decide)
 
-        (table, pool, slots, count, bpos, bptr, bres,
-         bvalid) = jax.lax.cond((state.frame > 0) & jnp.any(decide),
-                                do_coarsen, skip, table, pool)
+        # no mid-frame recompact (deviation D18, like the RGB-D path):
+        # starve/GC below run on the pre-coarsen window minus the freed
+        # entries; this frame's new coarse blocks starve/GC next frame
+        table, pool, coarsen_freed = jax.lax.cond(
+            (state.frame > 0) & jnp.any(decide), do_coarsen, skip,
+            table, pool)
+        bvalid = bvalid & ~coarsen_freed
 
     if cfg.n_frames_invalidate_voxels > 0:
         n = cfg.n_frames_invalidate_voxels
@@ -303,7 +323,7 @@ def integrate_points(cfg: MapConfig, state: MapState, cam: C.Camera,
 
     state = MapState(table=table, pool=pool, frame=state.frame + 1,
                      resident=state.resident)
-    return state, _stats(state, count)
+    return state, _stats(state, count, unserved)
 
 
 @functools.lru_cache(maxsize=None)

@@ -191,6 +191,11 @@ class MapConfig:
     low_split_chunk: int = 1 << 10           # high blocks split per refill
     sample_patch: int = 16                   # per-block image patch side
     sample_fallback: int = 1 << 16           # out-of-patch lane budget
+    points_fallback: int = 1 << 14           # LiDAR out-of-patch lane budget
+                                             # (near blocks form a small
+                                             # ring; 32 blocks/frame, the
+                                             # rest stagger — each element
+                                             # lane costs ~6x a kernel lane)
     sample_mode: str = "gather"              # gather | patch | pallas | fused
     lookup_dedup_scratch: int = 1 << 15      # cells for dedup-fronted lookup
     pallas_interpret: bool = False           # run kernels interpreted (CPU)

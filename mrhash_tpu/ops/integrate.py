@@ -26,6 +26,7 @@ from mrhash_tpu.ops import coords as X
 from mrhash_tpu.ops import hashtable as H
 
 INF = jnp.float32(jnp.inf)
+FI_PATCH_W = 256   # fused-kernel patch width (ops/fused_integrate.PATCH_W)
 
 
 # ---------------------------------------------------------------------------
@@ -728,6 +729,60 @@ def pack_window_rows(cfg: MapConfig, bpos, bptr, bres, bvalid, n_pool_rows,
                 gpos=gpos, gvalid=gvalid, eslot=eslot, ecarve=carve)
 
 
+def _window_flag_decisions(cfg: MapConfig, cam: C.Camera, out, emap, bres,
+                           bvalid, unslotted_uns: bool):
+    """Map the fused kernel's per-slot / per-group flag lanes back to
+    per-ENTRY decisions (multi-res windows).  The consumers only need
+    BOOLEANS (GC free?, coarsen?, unserved?), so the decision math runs
+    per-SLOT on the slot-major flag block (pure VPU), packs into ONE int32
+    bitmask per slot, and the per-entry map is a single [A]-element gather
+    + variable shifts — the previous [A,32] row gather + 5 take_along_axis
+    measured 9.8 ms/frame at A=36864 on v5e (sub-512-lane rows decompose
+    to the ~6 ms/M element tax); this form is ~1 ms.
+    Word layout: bit0 res-0 GC, bit1 res-0 coarsen-decide, bit2 res-0
+    unserved; bits 8+g group-g GC, bits 16+g group-g unserved.
+
+    Returns (uns_b[A], aux dict(gc_decision, coarsen_decide))."""
+    cast = jax.lax.bitcast_convert_type
+    L = LANES
+    slotted = emap["eslot"] >= 0
+    eslot_c = jnp.where(bvalid & slotted, emap["eslot"], 0)
+    flags = out[:, 4 * L:4 * L + 32]                    # [A,32]
+    is1e = bvalid & (bres == 1)
+    crv = emap["ecarve"]
+
+    trunc_max = X.get_truncation(cam.max_depth, cfg.sdf_truncation,
+                                 cfg.sdf_truncation_scale)
+    min_s0 = cast(flags[:, 1], jnp.float32)
+    max_w0 = flags[:, 2]
+    w_tot0 = flags[:, 3].astype(jnp.float32)
+    ssq_t0 = cast(flags[:, 4], jnp.float32)
+    gc0 = (min_s0 >= trunc_max) | (max_w0 == 0)
+    # checkVarSDFKernel decision (voxel_data_structures.cu:1856-1905)
+    avg_var = ssq_t0 / jnp.maximum(w_tot0 - 1.0, 1e-12)
+    co0 = ((w_tot0 >= 2) & (avg_var > 0.0)
+           & (avg_var < cfg.sdf_var_threshold))
+    gmin = cast(flags[:, 16:24], jnp.float32)           # [A,8]
+    gmax = flags[:, 24:32]
+    gcg = (gmin >= trunc_max) | (gmax == 0)
+    gsh = 1 << (8 + jnp.arange(8, dtype=jnp.int32))
+    ush = 1 << (16 + jnp.arange(8, dtype=jnp.int32))
+    word = (gc0.astype(jnp.int32)
+            + (co0.astype(jnp.int32) << 1)
+            + ((flags[:, 0] > 0).astype(jnp.int32) << 2)
+            + jnp.sum(jnp.where(gcg, gsh[None, :], 0), axis=1)
+            + jnp.sum(jnp.where(flags[:, 8:16] > 0, ush[None, :], 0),
+                      axis=1))
+    ew = word[eslot_c]                                  # [A] gather
+    bit = lambda sh: ((ew >> sh) & 1) != 0
+    uns_b = jnp.where(slotted, bit(jnp.where(is1e, 16 + crv, 2)),
+                      unslotted_uns)
+    aux = dict(
+        gc_decision=slotted & bit(jnp.where(is1e, 8 + crv, 0)),
+        coarsen_decide=(slotted & bvalid & (bres == 0) & bit(1)))
+    return uns_b, aux
+
+
 def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
                           pc_depth, rgb_img, bpos, bptr, bres, bvalid,
                           frame=None, resident=False, resident_meta=None):
@@ -878,52 +933,9 @@ def fused_integrate_depth(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
                                         mode="drop", unique_indices=True))
 
     if multires:
-        # map per-slot / per-group flag lanes back to per-ENTRY decisions.
-        # The consumers only need BOOLEANS (GC free?, coarsen?, unserved?),
-        # so the decision math runs per-SLOT on the slot-major flag block
-        # (pure VPU), packs into ONE int32 bitmask per slot, and the
-        # per-entry map is a single [A]-element gather + variable shifts —
-        # the previous [A,32] row gather + 5 take_along_axis measured
-        # 9.8 ms/frame at A=36864 on v5e (sub-512-lane rows decompose to
-        # the ~6 ms/M element tax); this form is ~1 ms.
-        # Word layout: bit0 res-0 GC, bit1 res-0 coarsen-decide, bit2
-        # res-0 unserved; bits 8+g group-g GC, bits 16+g group-g unserved.
         emap = rw if resident_meta is None else resident_meta
-        slotted = emap["eslot"] >= 0
-        eslot_c = jnp.where(bvalid & slotted, emap["eslot"], 0)
-        flags = out[:, 4 * L:4 * L + 32]                    # [A,32]
-        is1e = bvalid & (bres == 1)
-        crv = emap["ecarve"]
-
-        trunc_max = X.get_truncation(cam.max_depth, cfg.sdf_truncation,
-                                     cfg.sdf_truncation_scale)
-        min_s0 = cast(flags[:, 1], jnp.float32)
-        max_w0 = flags[:, 2]
-        w_tot0 = flags[:, 3].astype(jnp.float32)
-        ssq_t0 = cast(flags[:, 4], jnp.float32)
-        gc0 = (min_s0 >= trunc_max) | (max_w0 == 0)
-        # checkVarSDFKernel decision (voxel_data_structures.cu:1856-1905)
-        avg_var = ssq_t0 / jnp.maximum(w_tot0 - 1.0, 1e-12)
-        co0 = ((w_tot0 >= 2) & (avg_var > 0.0)
-               & (avg_var < cfg.sdf_var_threshold))
-        gmin = cast(flags[:, 16:24], jnp.float32)           # [A,8]
-        gmax = flags[:, 24:32]
-        gcg = (gmin >= trunc_max) | (gmax == 0)
-        gsh = 1 << (8 + jnp.arange(8, dtype=jnp.int32))
-        ush = 1 << (16 + jnp.arange(8, dtype=jnp.int32))
-        word = (gc0.astype(jnp.int32)
-                + (co0.astype(jnp.int32) << 1)
-                + ((flags[:, 0] > 0).astype(jnp.int32) << 2)
-                + jnp.sum(jnp.where(gcg, gsh[None, :], 0), axis=1)
-                + jnp.sum(jnp.where(flags[:, 8:16] > 0, ush[None, :], 0),
-                          axis=1))
-        ew = word[eslot_c]                                  # [A] gather
-        bit = lambda sh: ((ew >> sh) & 1) != 0
-        uns_b = jnp.where(slotted, bit(jnp.where(is1e, 16 + crv, 2)),
-                          resident_meta is None)
-        aux = dict(
-            gc_decision=slotted & bit(jnp.where(is1e, 8 + crv, 0)),
-            coarsen_decide=(slotted & bvalid & (bres == 0) & bit(1)))
+        uns_b, aux = _window_flag_decisions(cfg, cam, out, emap, bres,
+                                            bvalid, resident_meta is None)
     else:
         uns_b = out[:, 4 * L] > 0
         aux = dict(gc_min_s=cast(out[:, 4 * L + 1], jnp.float32),
@@ -1138,6 +1150,293 @@ def integrate_points_sdf(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
         weight=jnp.where(hit, m_w, w0),
         sumsq=jnp.where(hit, pool.flat_sumsq + delta * delta2,
                         pool.flat_sumsq))
+
+
+# ---------------------------------------------------------------------------
+# fused (Pallas) LiDAR integrate: voxel-centric projective update
+# ---------------------------------------------------------------------------
+
+SPH_PAD = 128          # azimuth wraparound pad columns per side
+
+
+def _scan_raster_mapping(cam: C.Camera, points, point_valid):
+    """Self-consistent raster mapping for the fused LiDAR path.
+
+    Azimuth: the full circle maps to cam.cols columns.  Elevation: bounds
+    are TRACED from the scan itself (nominal cam fy/cy may not cover the
+    sensor's true elevation span) and map to cam.rows rows.  Returns
+    (el_lo, s_el) so row = floor((el - el_lo) * s_el)."""
+    rng = jnp.linalg.norm(points, axis=-1)
+    ok = point_valid & (rng > 1e-6)
+    el = jnp.arcsin(jnp.clip(points[..., 2] / jnp.where(ok, rng, 1.0),
+                             -1.0, 1.0))
+    el_lo = jnp.min(jnp.where(ok, el, jnp.inf))
+    el_hi = jnp.max(jnp.where(ok, el, -jnp.inf))
+    el_lo = jnp.where(jnp.isfinite(el_lo), el_lo, -1.0)
+    el_hi = jnp.where(jnp.isfinite(el_hi), el_hi, 1.0)
+    s_el = (cam.rows - 1) / jnp.maximum(el_hi - el_lo, 1e-6)
+    return el_lo, s_el
+
+
+def _sph_rowcol(cam: C.Camera, pc, el_lo, s_el):
+    """Raster (row, col) of camera-frame points under the scan mapping.
+    Returns (row, col, rng, in_rows)."""
+    rng = jnp.linalg.norm(pc, axis=-1)
+    safe = jnp.where(rng == 0, 1.0, rng)
+    az = jnp.arctan2(pc[..., 1], pc[..., 0])
+    el = jnp.arcsin(jnp.clip(pc[..., 2] / safe, -1.0, 1.0))
+    colf = (az + jnp.pi) * (cam.cols / (2.0 * jnp.pi))
+    col = jnp.clip(colf.astype(jnp.int32), 0, cam.cols - 1)
+    rowf = (el - el_lo) * s_el + 0.5
+    row = jnp.floor(rowf).astype(jnp.int32)
+    in_rows = (row >= 0) & (row < cam.rows)
+    return row, col, rng, in_rows
+
+
+def rasterize_scan(cfg: MapConfig, cam: C.Camera, points, point_valid,
+                   el_lo, s_el):
+    """Min-range rasterization of the scan onto [Hp, cols + 2*SPH_PAD]
+    (8-aligned rows; wraparound pad columns on both sides for the kernel's
+    128-aligned patch windows).  Empty cells hold 0."""
+    row, col, rng, in_rows = _sph_rowcol(cam, points, el_lo, s_el)
+    ok = (point_valid & in_rows & (rng >= cam.min_depth)
+          & (rng <= cam.max_depth))
+    W_ = cam.cols
+    hp = -(-cam.rows // 8) * 8
+    flat = jnp.where(ok, row * W_ + col, hp * W_)
+    img = jnp.full((hp * W_ + 1,), INF, jnp.float32).at[flat].min(
+        jnp.where(ok, rng, INF))[:hp * W_].reshape(hp, W_)
+    img = jnp.where(jnp.isfinite(img), img, 0.0)
+    return jnp.concatenate(
+        [img[:, W_ - SPH_PAD:], img, img[:, :FI_PATCH_W - SPH_PAD]], axis=1)
+
+
+def _sph_proj_pack(cfg: MapConfig, cam: C.Camera, pi, lane_valid, el_lo,
+                   s_el, c0):
+    """Per-lane packed local patch coords + voxel camera range for the
+    spherical kernel (ops/fused_integrate.py module comment).
+
+    pi i32[A,512,3] virtual-voxel lattice, c0 i32[A,512] each lane's patch
+    column origin (padded coords; per-slot for plain rows, per-group for
+    packed rows).  Returns proj i32[A,1024]."""
+    pw = X.virtual_voxel_pos_to_world(cfg.virtual_voxel_size, pi)
+    pc = C.world_to_cam(cam, pw)
+    row, col, rng, in_rows = _sph_rowcol(cam, pc, el_lo, s_el)
+    ok = (lane_valid & in_rows & (rng >= cam.min_depth)
+          & (rng <= cam.max_depth))
+    # unwrap each lane's column to the patch window: c0 is 128-aligned in
+    # padded coords; the patch covers unpadded cols [c0-PAD, c0-PAD+256)
+    lck = jnp.mod(col + SPH_PAD - c0, cam.cols)   # nearest representative
+    inp = ok & (lck < FI_PATCH_W)
+    # full lck rides in the packing (12 bits) so the element fallback can
+    # recover the absolute column of out-of-patch lanes without re-
+    # projecting; the kernel masks with the inp bit before its one-hots
+    lck_c = jnp.minimum(lck, 4095)
+    row_c = jnp.where(ok, row, 0)
+    packed = (lck_c | (row_c << 12) | (inp.astype(jnp.int32) << 20)
+              | (ok.astype(jnp.int32) << 21))
+    rngb = jax.lax.bitcast_convert_type(rng.astype(jnp.float32), jnp.int32)
+    return jnp.concatenate([packed, rngb], axis=1)
+
+
+def _sph_patch_origin(cfg: MapConfig, cam: C.Camera, bpos):
+    """128-aligned padded-coords patch column origin from block centers."""
+    center = X.virtual_voxel_pos_to_world(
+        cfg.virtual_voxel_size,
+        X.sdf_block_to_virtual_voxel_pos(bpos)) + 3.5 * cfg.virtual_voxel_size
+    pc = C.world_to_cam(cam, center)
+    az = jnp.arctan2(pc[..., 1], pc[..., 0])
+    ccol = jnp.clip(((az + jnp.pi) * (cam.cols / (2.0 * jnp.pi)))
+                    .astype(jnp.int32), 0, cam.cols - 1)
+    # padded-coords origin: patch [c0, c0+256) covers unpadded cols
+    # [c0-128, c0+128); padded width = cols + 256
+    return jnp.clip((ccol // 128) * 128, 0, cam.cols)
+
+
+def _points_fallback(cfg: MapConfig, pool: VoxelPool, cam: C.Camera,
+                     rng_img_unpadded, row, col, r_vox, ok, fb_ptr):
+    """Element-wise voxel-centric update for out-of-patch lanes (mirrors
+    the spherical kernel's fuse math; nearest-pixel gather sampling).
+
+    row/col/r_vox/ok: per-lane raster coords + gate [BB,512] (decoded from
+    the kernel's packed proj operand or recomputed by the caller)."""
+    r_px = _sample_image(rng_img_unpadded.reshape(-1), row, col, cam.cols,
+                         ok)
+    sdf = r_px - r_vox
+    trunc = X.get_truncation(r_px, cfg.sdf_truncation,
+                             cfg.sdf_truncation_scale)
+    update = (ok & (r_px > 0.0) & (r_px <= cfg.max_integration_distance)
+              & (sdf > -trunc) & (sdf < trunc))
+    sdf = jnp.clip(sdf, -trunc, trunc)
+
+    lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+    vidx = jnp.where(update, fb_ptr[:, None] + lanes, pool.num_voxels)
+    sdf0 = pool.flat_sdf[vidx]
+    ssq0 = pool.flat_sumsq[vidx]
+    w0 = pool.flat_weight[vidx]
+    w_up = jnp.float32(cfg.integration_weight_sample)
+    half = jnp.float32(cfg.virtual_voxel_size / 2.0)
+    curr_mean = jnp.where(w0 > 0, sdf0, 0.0)
+    delta = (sdf - curr_mean) / half
+    w0f = w0.astype(jnp.float32)
+    m_sdf = (sdf0 * w0f + sdf * w_up) / (w0f + w_up)
+    m_w = jnp.minimum(cfg.integration_weight_max,
+                      (w0f + w_up).astype(jnp.int32))
+    delta2 = (sdf - m_sdf) / half
+    vidx_w = jnp.where(update, vidx, pool.num_voxels).reshape(-1)
+    return pool.with_flat(
+        sdf=pool.flat_sdf.at[vidx_w].set(m_sdf.reshape(-1), mode="drop"),
+        weight=pool.flat_weight.at[vidx_w].set(m_w.reshape(-1), mode="drop"),
+        sumsq=pool.flat_sumsq.at[vidx_w].set(
+            (ssq0 + delta * delta2).reshape(-1), mode="drop"))
+
+
+def fused_integrate_points(cfg: MapConfig, table: H.HashTable,
+                           pool: VoxelPool, cam: C.Camera, points, normals,
+                           weights, point_valid, frame, window):
+    """One-kernel LiDAR integration over the compacted window (TPU-native
+    inversion of integrate3DKernel, voxel_data_structures.cu:1214-1401 —
+    deviation D19, DESIGN.md): rasterize the scan to a range image, run the
+    fused spherical Pallas kernel over packed row slots, scatter rows back,
+    then serve out-of-patch lanes of up to sample_fallback/512 blocks with
+    the element-wise path (frame-rotated).  Requires cfg.projective_sdf.
+
+    Returns (pool', aux) with aux = dict(unserved_blocks)."""
+    from mrhash_tpu.ops import fused_integrate as FI
+
+    wslots, bpos, bptr, bres, bvalid = window
+    A = bpos.shape[0]
+    multires = cfg.sdf_var_threshold > 0.0
+    cast = jax.lax.bitcast_convert_type
+    n_rows = pool.sdf.shape[0]
+
+    el_lo, s_el = _scan_raster_mapping(cam, points, point_valid)
+    rng_img = rasterize_scan(cfg, cam, points, point_valid, el_lo, s_el)
+    rng_unpadded = rng_img[:, SPH_PAD:SPH_PAD + cam.cols]
+
+    cam_vec = FI.make_cam_vec(
+        cam, cfg.virtual_voxel_size, cfg.sdf_truncation,
+        cfg.sdf_truncation_scale, cfg.max_integration_distance,
+        cfg.integration_weight_sample, cfg.integration_weight_max,
+        rng_img.shape[0], rng_img.shape[1])
+
+    meta = jnp.zeros((A, 128), jnp.int32)
+    if multires:
+        rw = pack_window_rows(cfg, bpos, bptr, bres, bvalid, n_rows)
+        _, lane0 = _block_rows(bptr, bvalid)
+        meta = meta.at[:, :3].set(rw["rpos"])
+        meta = meta.at[:, 3].set(rw["rvalid"].astype(jnp.int32))
+        meta = meta.at[:, 4].set(jnp.where(rw["rvalid"], rw["rres"], 0))
+        gmeta = jnp.concatenate(
+            [rw["gpos"], rw["gvalid"][..., None]], axis=2).reshape(A, 32)
+        meta = meta.at[:, 8:40].set(gmeta)
+        meta = meta.at[:, 5].set(_sph_patch_origin(cfg, cam, rw["rpos"]))
+        gc0 = _sph_patch_origin(cfg, cam, rw["gpos"].reshape(-1, 3)
+                                ).reshape(A, 8)
+        meta = meta.at[:, 40:48].set(gc0)
+        rrow_c = jnp.where(rw["rvalid"], rw["rrow"], 0)
+        pool_rows = jnp.concatenate(
+            [cast(pool.sdf[rrow_c], jnp.int32),
+             cast(pool.sumsq[rrow_c], jnp.int32),
+             pool.weight[rrow_c], pool.rgbp[rrow_c]], axis=1)
+        # lattice + per-lane origins in ROW layout (plain rows dense 8^3,
+        # packed rows 8 x 4^3 carve groups)
+        lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+        grp = lanes // P.TOTAL_LOW_BLOCK_SIZE
+        kindc = (rw["rres"] == 1)[:, None]
+        gpos_l = jnp.take_along_axis(rw["gpos"], grp[..., None], axis=1)
+        pos_l = jnp.where(kindc[..., None], gpos_l,
+                          rw["rpos"][:, None, :])
+        local = lanes % P.TOTAL_LOW_BLOCK_SIZE
+        off4 = X.delinearize_voxel_pos(local, P.LOW_BLOCK_SIZE) * 2
+        off8 = X.delinearize_voxel_pos(lanes, P.SDF_BLOCK_SIZE)
+        offs = jnp.where(kindc[..., None], off4, off8)
+        pi = X.sdf_block_to_virtual_voxel_pos(pos_l) + offs
+        gval_l = jnp.take_along_axis(rw["gvalid"], grp, axis=1) != 0
+        lane_valid = jnp.where(kindc, gval_l, rw["rvalid"][:, None])
+        c0_l = jnp.where(kindc, jnp.take_along_axis(gc0, grp, axis=1),
+                         meta[:, 5:6])
+    else:
+        prow, lane0 = _block_rows(bptr, bvalid)
+        meta = meta.at[:, :3].set(jnp.where(bvalid[:, None], bpos, 0))
+        meta = meta.at[:, 3].set(bvalid.astype(jnp.int32))
+        meta = meta.at[:, 5].set(_sph_patch_origin(cfg, cam, bpos))
+        pool_rows = jnp.concatenate(
+            [cast(pool.sdf[prow], jnp.int32),
+             cast(pool.sumsq[prow], jnp.int32),
+             pool.weight[prow], pool.rgbp[prow]], axis=1)
+        pi, lane_valid = _block_voxel_grid(bpos, bres)
+        lane_valid = lane_valid & bvalid[:, None]
+        c0_l = jnp.broadcast_to(meta[:, 5:6], (A, LANES))
+
+    proj = _sph_proj_pack(cfg, cam, pi, lane_valid, el_lo, s_el, c0_l)
+
+    out = FI.fused_integrate_points_pallas(
+        rng_img, cam_vec, meta, proj, pool_rows,
+        interpret=cfg.pallas_interpret, multires=multires)
+
+    L = LANES
+    if multires:
+        rows_w = jnp.where(rw["rvalid"], rw["rrow"], n_rows)
+    else:
+        rows_w = jnp.where(bvalid, prow, n_rows)
+    pool = pool.replace(
+        sdf=pool.sdf.at[rows_w].set(cast(out[:, 0:L], jnp.float32),
+                                    mode="drop", unique_indices=True),
+        sumsq=pool.sumsq.at[rows_w].set(cast(out[:, L:2 * L], jnp.float32),
+                                        mode="drop", unique_indices=True),
+        weight=pool.weight.at[rows_w].set(out[:, 2 * L:3 * L], mode="drop",
+                                          unique_indices=True))
+
+    # --- bounded element fallback for out-of-patch (near) lanes -------------
+    if multires:
+        # GC + coarsen decisions ride the kernel flag lanes (same bitmask
+        # mapping as the RGB-D fused path — no pool-row gathers)
+        uns_b, aux = _window_flag_decisions(cfg, cam, out, rw, bres,
+                                            bvalid, True)
+    else:
+        uns_b = out[:, 4 * L] > 0
+        aux = dict(gc_min_s=cast(out[:, 4 * L + 1], jnp.float32),
+                   gc_max_w=out[:, 4 * L + 2])
+    BB = int(cfg.points_fallback) // L
+    bneed = bvalid & uns_b
+    shift = (frame.astype(jnp.int32) * 4097) % A
+    rolled = jnp.roll(bneed, -shift)
+    sel_r, bok, total_need = H.compact_indices(rolled, BB)
+    bsel = (jnp.where(bok, sel_r, 0) + shift) % A
+    aux["unserved_blocks"] = total_need - jnp.sum(bok.astype(jnp.int32))
+
+    # fallback serves ONLY the out-of-patch lanes (in-patch lanes were
+    # already updated by the kernel — double updates would double weights)
+    if multires:
+        # res-1 entries' lanes live at a carve offset inside their packed
+        # SLOT's proj row — recompute per-entry projections instead
+        fb_pos = bpos[bsel]
+        fb_res = bres[bsel]
+        pi_fb, lv_fb = _block_voxel_grid(fb_pos, fb_res)
+        pw_fb = X.virtual_voxel_pos_to_world(cfg.virtual_voxel_size, pi_fb)
+        row_fb, col_fb, rv_fb, inr_fb = _sph_rowcol(
+            cam, C.world_to_cam(cam, pw_fb), el_lo, s_el)
+        okp = (lv_fb & inr_fb & (rv_fb >= cam.min_depth)
+               & (rv_fb <= cam.max_depth))
+        c0_fb = _sph_patch_origin(cfg, cam, fb_pos)[:, None]
+        lck_fb = jnp.mod(col_fb + SPH_PAD - c0_fb, cam.cols)
+        oop = okp & ~((lck_fb >= 0) & (lck_fb < FI_PATCH_W))
+        ok_fb = bok[:, None] & oop
+    else:
+        # decode the kernel's own packed proj rows — no re-projection
+        pr = proj[bsel]                                   # [BB,1024] gather
+        pk = pr[:, :L]
+        row_fb = (pk >> 12) & 255
+        okp = ((pk >> 21) & 1) != 0
+        oop = okp & (((pk >> 20) & 1) == 0)
+        lck = pk & 4095
+        col_fb = jnp.mod(meta[bsel, 5:6] + lck - SPH_PAD, cam.cols)
+        rv_fb = cast(pr[:, L:], jnp.float32)
+        ok_fb = bok[:, None] & oop
+    pool = _points_fallback(cfg, pool, cam, rng_unpadded, row_fb, col_fb,
+                            rv_fb, ok_fb, bptr[bsel])
+    return pool, aux
 
 
 # ---------------------------------------------------------------------------

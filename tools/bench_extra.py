@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 BASE_MULTIRES_FPS = 26.0   # Replica multi-res, docs/index.html runtime table
 BASE_LIDAR_FPS = 21.6      # Newer College single-res, same table
+BASE_LIDAR_MR_FPS = 35.25  # Newer College multi-res, same table
+BASE_SCANNET_FPS = 64.30   # ScanNet single-res, same table
+BASE_SCANNET_MR_FPS = 59.34  # ScanNet multi-res, same table
 
 
 def bench_multires():
@@ -123,6 +126,99 @@ def bench_multires():
     return rec
 
 
+def bench_scannet(multires=False):
+    """ScanNet-like RGB-D rows (reference configurations/scannet.cfg:
+    640x480 at the cfg's intrinsics, 1 cm voxels, 7 cm truncation, GC every
+    100 frames; runtime-table baselines 64.30 / 59.34 FPS)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import synthetic_room_depth
+    from mrhash_tpu.core import pipeline
+    from mrhash_tpu.core.state import MapConfig, make_state, make_resident
+    from mrhash_tpu.ops import camera as C
+
+    rows, cols = 480, 640
+    sample_mode = "fused" if jax.default_backend() != "cpu" else "gather"
+    cfg = MapConfig(
+        virtual_voxel_size=0.01, sdf_truncation=0.07,
+        sdf_truncation_scale=0.0, integration_weight_sample=1,
+        max_integration_distance=30.0, n_frames_invalidate_voxels=100,
+        sdf_var_threshold=1.0 if multires else 0.0,
+        num_blocks=1 << 19, max_active_blocks=1 << 17,
+        num_buckets=1 << 17,
+        max_alloc_per_frame=1 << 13, sample_mode=sample_mode,
+        alloc_tile=4)
+    cam0 = C.make_camera(fx=577.590698, fy=578.729797, cx=318.905426,
+                         cy=242.683609, rows=rows, cols=cols,
+                         min_depth=0.01, max_depth=30.0)
+    rng = np.random.default_rng(0)
+    state = make_state(cfg.num_blocks, cfg.num_buckets or None)
+
+    orbit = 40
+    n_warmup, n_frames = orbit, 20
+    rgb = jnp.asarray(rng.integers(0, 255, (rows, cols, 3)), jnp.uint8)
+
+    def frame_cam(i):
+        th = 2.0 * np.pi * (i % orbit) / orbit
+        rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        t = np.array([0.05 * np.sin(th), 0.02 * np.cos(th), 0.0], np.float32)
+        return C.with_pose(cam0, jnp.asarray(rot), jnp.asarray(t))
+
+    depths = [synthetic_room_depth(rows, cols, frame_cam(i), rng)
+              for i in range(orbit)]
+
+    step = pipeline.jit_integrate_rgbd(cfg)
+    occ_max = 0
+    res0_max = 0
+    for i in range(n_warmup):
+        state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
+        occ_max = max(occ_max, int(stats["occupied_blocks"]))
+        res0_max = max(res0_max, int(stats.get("res0_blocks", 0)))
+    bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
+    bucket = min(bucket, cfg.max_active_blocks)
+    if sample_mode == "fused" and not multires:
+        cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                      resident_rows=bucket)
+        state = state.replace(resident=make_resident(cfg.num_blocks, bucket))
+    elif sample_mode == "fused" and multires:
+        plain = max(-(-int(res0_max * 1.4) // 4096) * 4096, 4096)
+        grow = plain + 4096 - bucket
+        if grow > 0:
+            bucket = min(bucket + -(-grow // 4096) * 4096,
+                         cfg.max_active_blocks)
+        plain = min(plain, bucket - 4096)
+        cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                      resident_rows=bucket,
+                                      resident_plain_rows=plain,
+                                      resident_churn=1 << 11)
+        state = state.replace(resident=make_resident(cfg.num_blocks, bucket))
+    else:
+        cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
+    step = pipeline.jit_integrate_rgbd(cfg_run)
+    for i in range(n_warmup, 2 * n_warmup):
+        state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
+    jax.block_until_ready(stats["occupied_blocks"])
+    print(f"# scannet{'_mr' if multires else ''}: occ_max {occ_max}, "
+          f"bucket {bucket}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(2 * n_warmup, 2 * n_warmup + n_frames):
+        state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
+    final_occ = int(stats["occupied_blocks"])   # host fetch = real fence
+    dt = (time.perf_counter() - t0) / n_frames
+    fps = 1.0 / dt
+    name = "tsdf_scannet_multires" if multires else "tsdf_scannet"
+    base = BASE_SCANNET_MR_FPS if multires else BASE_SCANNET_FPS
+    rec = {"metric": f"{name}_fps_640x480", "value": round(fps, 2),
+           "unit": "frames/s", "vs_baseline": round(fps / base, 3)}
+    print(json.dumps(rec))
+    print(f"# {name} per-frame: {dt * 1e3:.2f} ms, occupied {final_occ}"
+          f"{' CLIPPED' if final_occ >= bucket else ''}", file=sys.stderr)
+    return rec
+
+
 def synthetic_lidar_cloud(n_el, n_az, pose_t, rng):
     """Outdoor-ish scan: ground plane at y=-1.5 m + cylindrical wall at
     r=25 m + a few pillars, in the SENSOR frame after translating pose_t."""
@@ -150,7 +246,7 @@ def synthetic_lidar_cloud(n_el, n_az, pose_t, rng):
     return pts
 
 
-def bench_lidar():
+def bench_lidar(multires=False):
     import jax
     import jax.numpy as jnp
 
@@ -160,13 +256,20 @@ def bench_lidar():
 
     n_el, n_az = 64, 1024
     n_pts = n_el * n_az
+    sample_mode = "fused" if jax.default_backend() != "cpu" else "gather"
     cfg = MapConfig(
         virtual_voxel_size=0.20, sdf_truncation=0.40,
         sdf_truncation_scale=0.0, integration_weight_sample=1,
         max_integration_distance=100.0, n_frames_invalidate_voxels=0,
         num_blocks=1 << 18, max_active_blocks=1 << 17,
         num_buckets=1 << 16,
-        max_alloc_per_frame=1 << 13)
+        sdf_var_threshold=1.0 if multires else 0.0,
+        # steady-state trickle rates are tiny: the coarsen queue and dedup
+        # scratch are capacity knobs (their static size is real per-frame
+        # cost, like the RGB-D resident churn budget)
+        max_coarsen_per_frame=1 << 9,
+        dedup_scratch_factor=8,
+        max_alloc_per_frame=1 << 13, sample_mode=sample_mode)
     cam = C.make_camera(fx=n_az / (2 * np.pi), fy=n_el / 0.65,
                         cx=n_az / 2.0, cy=n_el / 2.0, rows=n_el, cols=n_az,
                         min_depth=0.2, max_depth=100.0, model=C.SPHERICAL)
@@ -220,26 +323,41 @@ def bench_lidar():
     state = jax.block_until_ready(state)
     dt = (time.perf_counter() - t0) / n_frames
     fps = 1.0 / dt
-    rec = {"metric": "tsdf_lidar_fps_newer_college_like_64x1024",
+    name = "tsdf_lidar_multires" if multires else "tsdf_lidar"
+    base = BASE_LIDAR_MR_FPS if multires else BASE_LIDAR_FPS
+    rec = {"metric": f"{name}_fps_newer_college_like_64x1024",
            "value": round(fps, 2), "unit": "frames/s",
-           "vs_baseline": round(fps / BASE_LIDAR_FPS, 3)}
+           "vs_baseline": round(fps / base, 3)}
     print(json.dumps(rec))
     final_occ = int(stats["occupied_blocks"])
-    print(f"# lidar per-frame: {dt * 1e3:.2f} ms, occupied {final_occ}"
+    print(f"# {name} per-frame: {dt * 1e3:.2f} ms, occupied {final_occ}"
           f"{' CLIPPED' if final_occ >= bucket else ''}", file=sys.stderr)
+    if multires:
+        print(f"# lidar multires: low_free {int(stats['low_free'])}, "
+              f"res-1 present: {int(stats['low_free']) < (1 << 18)}",
+              file=sys.stderr)
     return rec
+
+
+ALL = ("multires", "lidar", "lidar_multires", "scannet", "scannet_multires")
 
 
 def main():
     from mrhash_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    which = set(sys.argv[1:]) or {"multires", "lidar"}
+    which = set(sys.argv[1:]) or set(ALL)
     recs = []
     if "multires" in which:
         recs.append(bench_multires())
     if "lidar" in which:
         recs.append(bench_lidar())
-    if len(which) >= 2:
+    if "lidar_multires" in which:
+        recs.append(bench_lidar(multires=True))
+    if "scannet" in which:
+        recs.append(bench_scannet())
+    if "scannet_multires" in which:
+        recs.append(bench_scannet(multires=True))
+    if which == set(ALL):
         out = os.path.join(os.path.dirname(__file__), "..",
                            "BENCH_EXTRA.json")
         with open(out, "w") as f:
