@@ -140,6 +140,12 @@ def bench_scannet(multires=False):
 
     rows, cols = 480, 640
     sample_mode = "fused" if jax.default_backend() != "cpu" else "gather"
+    # capacity knobs scaled to the ScanNet scene (~9k blocks, ~1/2 the
+    # Replica window): the coarsen queue, GC free set, and resident churn
+    # are static per-frame costs, so oversizing them is pure overhead
+    mr_kw = (dict(max_coarsen_per_frame=1 << 9,
+                  max_gc_free_per_frame=1 << 9)
+             if multires else {})
     cfg = MapConfig(
         virtual_voxel_size=0.01, sdf_truncation=0.07,
         sdf_truncation_scale=0.0, integration_weight_sample=1,
@@ -147,8 +153,9 @@ def bench_scannet(multires=False):
         sdf_var_threshold=1.0 if multires else 0.0,
         num_blocks=1 << 19, max_active_blocks=1 << 17,
         num_buckets=1 << 17,
+        dedup_scratch_factor=8,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode,
-        alloc_tile=4)
+        alloc_tile=4, **mr_kw)
     cam0 = C.make_camera(fx=577.590698, fy=578.729797, cx=318.905426,
                          cy=242.683609, rows=rows, cols=cols,
                          min_depth=0.01, max_depth=30.0)
@@ -176,23 +183,26 @@ def bench_scannet(multires=False):
         state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
         occ_max = max(occ_max, int(stats["occupied_blocks"]))
         res0_max = max(res0_max, int(stats.get("res0_blocks", 0)))
-    bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
+    # finer 2048-granular bucket than bench.py's 4096: nearly every frame
+    # cost scales with the window, and the prewarm ladder absorbs the extra
+    # recompile points in production
+    bucket = max(-(-int(occ_max * 1.15) // 2048) * 2048, 2048)
     bucket = min(bucket, cfg.max_active_blocks)
     if sample_mode == "fused" and not multires:
         cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
                                       resident_rows=bucket)
         state = state.replace(resident=make_resident(cfg.num_blocks, bucket))
     elif sample_mode == "fused" and multires:
-        plain = max(-(-int(res0_max * 1.4) // 4096) * 4096, 4096)
-        grow = plain + 4096 - bucket
+        plain = max(-(-int(res0_max * 1.3) // 2048) * 2048, 2048)
+        grow = plain + 2048 - bucket
         if grow > 0:
-            bucket = min(bucket + -(-grow // 4096) * 4096,
+            bucket = min(bucket + -(-grow // 2048) * 2048,
                          cfg.max_active_blocks)
-        plain = min(plain, bucket - 4096)
+        plain = min(plain, bucket - 2048)
         cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
                                       resident_rows=bucket,
                                       resident_plain_rows=plain,
-                                      resident_churn=1 << 11)
+                                      resident_churn=1 << 10)
         state = state.replace(resident=make_resident(cfg.num_blocks, bucket))
     else:
         cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
