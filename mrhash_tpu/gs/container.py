@@ -136,12 +136,12 @@ class GaussianContainer:
                 check_nodes, cfg))
         centers, colors, scales, ok = self._check_nodes_jit[key](
             state.table, state.pool, cam, leaves, leaf_valid, depth, rgb)
-        okh = np.asarray(ok)
-        n_valid = int(okh.sum())
+        # only the seed COUNT crosses the tunnel; the candidate arrays are
+        # compacted and inserted on device (model.add_gaussians_device)
+        n_valid = int(jnp.sum(ok))
         if n_valid:
-            self.model.add_gaussians(np.asarray(centers)[okh],
-                                     np.asarray(colors)[okh],
-                                     np.asarray(scales)[okh])
+            self.model.add_gaussians_device(centers, colors, scales, ok,
+                                            n_valid)
         if self.model.count == 0:
             return
 

@@ -144,6 +144,72 @@ class GaussianModel:
             self._insert_jit[key] = ins
         return self._insert_jit[key]
 
+    def _insert_masked_fn(self, src, pad):
+        """Device-side seed insert: compact the ok-mask, gather the winning
+        candidates, and write them into fresh slots — no candidate arrays
+        ever cross the device->host tunnel (the host fetch of centers/
+        colors/scales measured ~100+ ms/frame of the online-GS loop)."""
+        if not hasattr(self, "_insert_masked_jit"):
+            self._insert_masked_jit = {}
+        key = (src, pad, self.size)
+        if key not in self._insert_masked_jit:
+            cap = self.size
+            n_rest = self.n_rest
+
+            @jax.jit
+            def ins(params, centers, colors, scales, ok, count):
+                from mrhash_tpu.ops.hashtable import compact_indices
+                sel, got, _ = compact_indices(ok, pad)
+                sel_c = jnp.where(got, sel, 0)
+                pos = centers[sel_c]
+                col = colors[sel_c].astype(jnp.float32)
+                sc = jnp.maximum(scales[sel_c], 1e-12)
+                lanes = jnp.arange(pad)
+                dest = jnp.where(got, count + lanes, cap)
+                dest = jnp.where(dest < cap, dest, cap)  # capacity clamp
+                fused = rgb2sh(col / 255.0)
+                rot0 = jnp.broadcast_to(
+                    jnp.array([1.0, 0, 0, 0], jnp.float32), (pad, 4))
+                op0 = jnp.full((pad, 1),
+                               inverse_sigmoid(jnp.float32(0.5)))
+                out = dict(params)
+                out["xyz"] = params["xyz"].at[dest].set(pos, mode="drop")
+                out["scaling"] = params["scaling"].at[dest].set(
+                    jnp.log(sc)[:, None].repeat(3, 1), mode="drop")
+                out["rotation"] = params["rotation"].at[dest].set(
+                    rot0, mode="drop")
+                out["opacity"] = params["opacity"].at[dest].set(
+                    op0, mode="drop")
+                out["f_dc"] = params["f_dc"].at[dest].set(
+                    fused[:, None, :], mode="drop")
+                out["f_rest"] = params["f_rest"].at[dest].set(
+                    jnp.zeros((pad, n_rest, 3), jnp.float32), mode="drop")
+                return out
+            self._insert_masked_jit[key] = ins
+        return self._insert_masked_jit[key]
+
+    def add_gaussians_device(self, centers, colors, scales, ok, n_valid):
+        """add_gaussians from DEVICE candidate arrays + ok mask (the
+        qtree/check_nodes outputs stay on device; only the n_valid scalar
+        is fetched by the caller)."""
+        n = int(n_valid)
+        if n == 0:
+            return
+        if self.count + n > self.capacity:
+            n = self.capacity - self.count
+            if n <= 0:
+                print("GaussianModel | capacity exceeded, dropping gaussians")
+                return
+        self._grow(self.count + n)
+        pad = 256
+        while pad < n:
+            pad *= 4
+        pad = min(pad, ok.shape[0])
+        self.params = self._insert_masked_fn(ok.shape[0], pad)(
+            self.params, centers, colors, scales, ok,
+            jnp.int32(self.count))
+        self.count += n
+
     def add_gaussians(self, positions, colors_u8, scales):
         """Add_gaussians (gaussian.cu:147-211): new slots initialized with
         log-scale (isotropic), identity quat, opacity inv-sigmoid(0.5), DC

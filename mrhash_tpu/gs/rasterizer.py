@@ -335,27 +335,33 @@ def render(params, active, cam, bg_color, sh_degree, max_per_tile=128):
     sort_tile, depth_s, gidx_s = jax.lax.stop_gradient(jax.lax.sort(
         (sort_tile, depth, gidx), num_keys=2))
 
-    # per-tile ranges (identifyTileRanges, rasterizer_impl.cu:101-121)
-    npairs = sort_tile.shape[0]
-    first = jnp.concatenate([jnp.asarray([True]),
-                             sort_tile[1:] != sort_tile[:-1]])
-    starts = jnp.full((n_tiles + 1,), npairs, jnp.int32).at[
-        jnp.where(first, sort_tile, n_tiles)].min(
-        jnp.arange(npairs, dtype=jnp.int32), mode="drop")
-    counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[sort_tile].add(
-        1, mode="drop")
+    # per-tile ranges (identifyTileRanges, rasterizer_impl.cu:101-121):
+    # binary search on the SORTED tile keys instead of two 1M-pair scatters
+    # (a scatter-min + scatter-add over the pair list measured ~12 ms at
+    # 1M pairs on v5e; searchsorted is 20 gather steps over n_tiles values)
+    bounds = jnp.searchsorted(sort_tile,
+                              jnp.arange(n_tiles + 1, dtype=jnp.int32))
+    starts = bounds[:n_tiles]                               # [T]
+    counts = bounds[1:] - bounds[:-1]                       # [T]
 
     # per-tile bounded gather of the front-most max_per_tile gaussians
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
-    lidx = starts[:n_tiles, None] + k[None, :]              # [T,K]
-    lvalid = k[None, :] < jnp.minimum(counts[:n_tiles, None], max_per_tile)
+    lidx = starts[:, None] + k[None, :]                     # [T,K]
+    lvalid = k[None, :] < jnp.minimum(counts[:, None], max_per_tile)
     lidx = jnp.where(lvalid, lidx, 0)
     gl = gidx_s[lidx]                                        # [T,K]
 
-    txy = attrs["xy"][gl]            # [T,K,2]
-    tconic = attrs["conic"][gl]      # [T,K,3]
-    topac = attrs["opacity"][gl]     # [T,K]
-    trgb = attrs["rgb"][gl]          # [T,K,3]
+    # pack the 9 blend attributes into one [G,9] array: ONE row-gather per
+    # (tile, k) instead of four element gathers (each [T*K]-index gather
+    # pays the per-index tax; the VJP also becomes one scatter-add)
+    attr9 = jnp.concatenate(
+        [attrs["xy"], attrs["conic"], attrs["opacity"][:, None],
+         attrs["rgb"]], axis=1)
+    ta = attr9[gl]                   # [T,K,9]
+    txy = ta[..., 0:2]
+    tconic = ta[..., 2:5]
+    topac = ta[..., 5]
+    trgb = ta[..., 6:9]
 
     # pixel coordinates per tile [T, 256, 2]
     tids = jnp.arange(n_tiles, dtype=jnp.int32)

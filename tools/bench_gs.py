@@ -110,15 +110,19 @@ def main():
     jax.block_until_ready(gc.model.params["xyz"])
     n0 = gc.model.count
     # prewarm the seed-insert pad ladder (one jit per power-of-4 pad,
-    # model.py add_gaussians): frame 2's seed count lands on a smaller pad
-    # than frame 1's, which would compile inside the timed region.  A
-    # zero-count call writes nothing (dest lanes all drop).
+    # model.py add_gaussians_device): frame 2's seed count lands on a
+    # smaller pad than frame 1's, which would compile inside the timed
+    # region.  An all-false mask writes nothing (dest lanes all drop).
+    src = gc.qtree_capacity
+    z3 = jnp.zeros((src, 3), jnp.float32)
+    zc = jnp.zeros((src, 3), jnp.uint8)   # colors are uint8 (check_nodes)
+    z1 = jnp.ones((src,), jnp.float32)
+    no = jnp.zeros((src,), bool)
     for pad in (256, 1024, 4096, 16384):
-        p3 = jnp.zeros((pad, 3), jnp.float32)
-        gc.model.params = gc.model._insert_fn(pad)(
-            gc.model.params, p3, p3, jnp.ones((pad,), jnp.float32),
-            jnp.int32(gc.model.count), jnp.int32(0))
-    jax.block_until_ready(gc.model.params["xyz"])
+        gc.model.params = gc.model._insert_masked_fn(src, pad)(
+            gc.model.params, z3, zc, z1, no, jnp.int32(gc.model.count))
+    # fence with a scalar fetch (block_until_ready returns early on axon)
+    float(jnp.sum(gc.model.params["xyz"][:1]))
     rot, t, cam1, depth1, rgb1 = frames[1]
     gw.setCurrPose(t, _rot_to_quat(rot))
     gw.setDepthImage(depth1)

@@ -54,16 +54,21 @@ def main():
 
     K = 10
 
+    def fence(out):
+        # axon's block_until_ready returns early; a host scalar fetch is the
+        # only reliable fence (project memory / DESIGN.md)
+        x = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(x[:1].astype(jnp.float32) if x.ndim else x))
+
     def clock(name, fn, *a, n=K):
         out = fn(*a)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        fence(out)
+        out = fn(*a)      # second warmup: donation-steady execution
+        fence(out)
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(*a)
-        leaves = jax.tree_util.tree_leaves(out)
-        x = leaves[0]
-        float(jnp.sum(x[:1].astype(jnp.float32) if x.ndim else x
-                      ).block_until_ready())
+        fence(out)
         dt = (time.perf_counter() - t0) / n * 1e3
         print(f"{name:28s} {dt:8.2f} ms")
         return out
@@ -106,20 +111,21 @@ def main():
 
     @jax.jit
     def f_gather(st, gi, attrs):
-        npairs = st.shape[0]
-        first = jnp.concatenate([jnp.asarray([True]), st[1:] != st[:-1]])
-        starts = jnp.full((n_tiles + 1,), npairs, jnp.int32).at[
-            jnp.where(first, st, n_tiles)].min(
-            jnp.arange(npairs, dtype=jnp.int32), mode="drop")
-        counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[st].add(
-            1, mode="drop")
+        bounds = jnp.searchsorted(st, jnp.arange(n_tiles + 1,
+                                                 dtype=jnp.int32))
+        starts = bounds[:n_tiles]
+        counts = bounds[1:] - bounds[:-1]
         k = jnp.arange(cap, dtype=jnp.int32)
-        lidx = starts[:n_tiles, None] + k[None, :]
-        lvalid = k[None, :] < jnp.minimum(counts[:n_tiles, None], cap)
+        lidx = starts[:, None] + k[None, :]
+        lvalid = k[None, :] < jnp.minimum(counts[:, None], cap)
         lidx = jnp.where(lvalid, lidx, 0)
         gl = gi[lidx]
-        return (attrs["xy"][gl], attrs["conic"][gl], attrs["opacity"][gl],
-                attrs["rgb"][gl], lvalid)
+        attr9 = jnp.concatenate(
+            [attrs["xy"], attrs["conic"], attrs["opacity"][:, None],
+             attrs["rgb"]], axis=1)
+        ta = attr9[gl]
+        return (ta[..., 0:2], ta[..., 2:5], ta[..., 5], ta[..., 6:9],
+                lvalid)
     clock("ranges+tile gathers", f_gather, st, gi, attrs)
 
     txy, tconic, topac, trgb, lvalid = jax.jit(f_gather.__wrapped__)(
