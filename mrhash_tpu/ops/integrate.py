@@ -1577,29 +1577,46 @@ def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
     # scales with its SOURCE length (the whole compacted window before),
     # and steady-state frames free only a handful of blocks.  Overflow
     # staggers to the next frame like every other capacity cap.
+    # The whole free+clear pass sits under decision.any() (like the
+    # coarsen chain): a frame with nothing to free pays only the scalar
+    # decision math — the unconditional pass measured ~2.5 ms/frame of
+    # K-capacity machinery at ScanNet scale.
     K = int(cfg.max_gc_free_per_frame)
-    didx, dvalid, _ = H.compact_indices(decision, K)
-    didx_c = jnp.where(dvalid, didx, 0)
-    table, ptrs, fres, freed = H.free_slots(table, slots[didx_c], dvalid)
     multires = cfg.sdf_var_threshold > 0.0
     if resident_rp is not None and multires:
-        # multi-res resident: freed carves share rows with live siblings —
-        # flush the resident copies to the big pool BEFORE zeroing the
-        # freed windows there, then drop residency (rows re-adopt from the
-        # updated big copy next frame)
-        from mrhash_tpu.core import resident as RES
         assert kernel_decision is not None, (
             "multi-res resident GC needs the kernel decision (the "
             "big-pool rows are stale)")
-        rp, pool = RES.flush_release_rows(resident_rp, pool,
-                                          ptrs // LANES, freed)
-        pool = _clear_blocks(pool, ptrs, fres, freed, multires=True)
-        return table, pool, rp
-    pool = _clear_blocks(pool, ptrs, fres, freed, multires=multires)
-    if resident_rp is not None:
+
+    def do_free(table, pool, rp):
         from mrhash_tpu.core import resident as RES
-        rp = RES.release_rows(resident_rp, ptrs // LANES, didx_c, freed)
+        didx, dvalid, _ = H.compact_indices(decision, K)
+        didx_c = jnp.where(dvalid, didx, 0)
+        table, ptrs, fres, freed = H.free_slots(table, slots[didx_c],
+                                                dvalid)
+        if resident_rp is not None and multires:
+            # multi-res resident: freed carves share rows with live
+            # siblings — flush the resident copies to the big pool BEFORE
+            # zeroing the freed windows there, then drop residency (rows
+            # re-adopt from the updated big copy next frame)
+            rp, pool = RES.flush_release_rows(rp, pool, ptrs // LANES,
+                                              freed)
+            pool = _clear_blocks(pool, ptrs, fres, freed, multires=True)
+            return table, pool, rp
+        pool = _clear_blocks(pool, ptrs, fres, freed, multires=multires)
+        if resident_rp is not None:
+            rp = RES.release_rows(rp, ptrs // LANES, didx_c, freed)
         return table, pool, rp
+
+    def skip_free(table, pool, rp):
+        return table, pool, rp
+
+    any_free = jnp.any(decision)
+    if resident_rp is not None:
+        return jax.lax.cond(any_free, do_free, skip_free, table, pool,
+                            resident_rp)
+    table, pool, _ = jax.lax.cond(any_free, do_free, skip_free, table,
+                                  pool, 0)
     return table, pool
 
 
