@@ -1207,8 +1207,13 @@ def rasterize_scan(cfg: MapConfig, cam: C.Camera, points, point_valid,
     img = jnp.full((hp * W_ + 1,), INF, jnp.float32).at[flat].min(
         jnp.where(ok, rng, INF))[:hp * W_].reshape(hp, W_)
     img = jnp.where(jnp.isfinite(img), img, 0.0)
-    return jnp.concatenate(
-        [img[:, W_ - SPH_PAD:], img, img[:, :FI_PATCH_W - SPH_PAD]], axis=1)
+    rpad = FI_PATCH_W - SPH_PAD
+    if W_ >= max(SPH_PAD, rpad):
+        return jnp.concatenate(
+            [img[:, W_ - SPH_PAD:], img, img[:, :rpad]], axis=1)
+    # narrow scans (cols < pad width): modular column gather for the wrap
+    idx = jnp.mod(jnp.arange(-SPH_PAD, W_ + rpad, dtype=jnp.int32), W_)
+    return img[:, idx]
 
 
 def _sph_proj_pack(cfg: MapConfig, cam: C.Camera, pi, lane_valid, el_lo,

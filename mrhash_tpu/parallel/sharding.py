@@ -314,11 +314,21 @@ def sharded_integrate_points(cfg: MapConfig, mesh: Mesh):
                                 jnp.zeros((u,), jnp.int32))
 
         slots, count, bpos, bptr, bres, bvalid = I.compact_active(lcfg, table)
-        pool = I.integrate_points_sdf(lcfg, table, pool, cam, points,
-                                      normals, weights, point_valid,
-                                      num_voxel_steps, frame=frame,
-                                      window=(slots, bpos, bptr, bres,
-                                              bvalid))
+        if lcfg.sample_mode == "fused" and lcfg.projective_sdf:
+            # fused spherical kernel per shard (deviation D19): every device
+            # rasterizes the replicated cloud identically and runs its LOCAL
+            # window through the kernel — writes stay shard-local, no
+            # collective beyond the alloc all_gather above
+            pool, _ = I.fused_integrate_points(
+                lcfg, table, pool, cam, points, normals, weights,
+                point_valid, frame,
+                window=(slots, bpos, bptr, bres, bvalid))
+        else:
+            pool = I.integrate_points_sdf(lcfg, table, pool, cam, points,
+                                          normals, weights, point_valid,
+                                          num_voxel_steps, frame=frame,
+                                          window=(slots, bpos, bptr, bres,
+                                                  bvalid))
 
         if cfg.sdf_var_threshold > 0.0:
             def do_coarsen(table, pool):

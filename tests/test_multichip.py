@@ -196,3 +196,61 @@ def test_sharded_lidar_matches_single_chip(mesh):
     assert np.array_equal(p1, ps)
     assert np.array_equal(w1, ws)
     assert np.allclose(s1, ss, atol=1e-6)
+
+
+def test_sharded_fused_lidar_matches_single_chip(mesh):
+    """The fused spherical LiDAR kernel (deviation D19) under shard_map:
+    every shard rasterizes the replicated cloud and runs its LOCAL window
+    through the kernel, so the sharded map must equal the single-chip
+    fused map bit-for-bit (no unserved lanes in this scene, so the
+    shard-local fallback rotations never diverge)."""
+    import dataclasses
+    cfg = make_cfg()
+    cfg = dataclasses.replace(cfg, virtual_voxel_size=0.2,
+                              sdf_truncation=0.4,
+                              max_integration_distance=50.0,
+                              n_frames_invalidate_voxels=0,
+                              sample_mode="fused", pallas_interpret=True)
+    n_az = 128
+    cam = C.make_camera(fx=n_az / (2 * np.pi), fy=ROWS / (np.pi / 3),
+                        cx=n_az / 2, cy=ROWS / 2, rows=ROWS, cols=n_az,
+                        min_depth=0.2, max_depth=50.0, model=C.SPHERICAL)
+    n = 512
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    pts = np.stack([10 * np.cos(ang), 10 * np.sin(ang),
+                    0.3 * np.sin(3 * ang)], 1)
+    points = jnp.asarray(pts, jnp.float32)
+    normals = jnp.zeros((n, 3), jnp.float32)
+    weights = jnp.ones((n,), jnp.float32)
+    valid = jnp.ones((n,), bool)
+
+    step = S.sharded_integrate_points(cfg, mesh)
+    sstate = S.make_sharded_state(cfg, mesh)
+    state = make_state(cfg.num_blocks)
+    for _ in range(2):
+        sstate, sstats = step(sstate, cam, points, normals, weights, valid)
+        state, stats = pipeline.integrate_points(cfg, state, cam, points,
+                                                 normals, weights, valid)
+    assert int(stats["occupied_blocks"]) > 0
+    assert int(sstats["occupied_blocks"]) == int(stats["occupied_blocks"])
+
+    def content(table, pool, lcl_nb=None):
+        occ = np.asarray(table.ptr) != P.FREE_ENTRY
+        pos = np.asarray(table.pos)[occ]
+        ptr = np.asarray(table.ptr)[occ]
+        if lcl_nb is not None:
+            cap = np.asarray(table.ptr).shape[0] // 8
+            shard = np.nonzero(occ)[0] // cap
+            ptr = ptr + shard * lcl_nb * P.TOTAL_SDF_BLOCK_SIZE
+        lanes = np.arange(P.TOTAL_SDF_BLOCK_SIZE)
+        sdf = np.asarray(pool.sdf).reshape(-1)[ptr[:, None] + lanes]
+        w = np.asarray(pool.weight).reshape(-1)[ptr[:, None] + lanes]
+        order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
+        return pos[order], sdf[order], w[order]
+
+    lcfg = S.local_config(cfg, 8)
+    p1, s1, w1 = content(state.table, state.pool)
+    ps, ss, ws = content(sstate.table, sstate.pool, lcfg.num_blocks)
+    assert np.array_equal(p1, ps)
+    assert np.array_equal(w1, ws)
+    assert np.allclose(s1, ss, atol=1e-6)
