@@ -16,7 +16,7 @@ from mrhash_tpu.apps.utils.readers import KittiReader, PLYReader
 
 def lidar_loop(reader, cfg, config, rows=64, cols=1024, compute_normals=False,
                end_frame_override=None, skip_outputs=False,
-               **wrapper_overrides):
+               camera_in_lidar=None, **wrapper_overrides):
     results_dir, timestamp = prepare_results_dir(config, cfg)
     sensor = cfg["sensor"]
     end_frame = cfg.get("end_frame", -1)
@@ -27,6 +27,8 @@ def lidar_loop(reader, cfg, config, rows=64, cols=1024, compute_normals=False,
 
     gw = build_geowrapper(cfg, sensor["min_depth"], sensor["max_depth"],
                           **wrapper_overrides)
+    if camera_in_lidar is not None:
+        gw.setCameraInLidar(camera_in_lidar)
     camera_set = False
     for i, (pose, quat, points) in enumerate(tqdm(reader,
                                                   desc="processing...")):

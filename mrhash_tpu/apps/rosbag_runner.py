@@ -57,9 +57,17 @@ class Ros1Reader(_IterReader):
 def main(config_path, **kw):
     config, cfg = load_config(config_path)
     sensor = cfg["sensor"]
-    reader = Ros1Reader(cfg["data_path"], cfg["topic"], cfg["gt_path"],
+    topic = cfg.get("topic") or sensor.get("rosbag_topic")
+    reader = Ros1Reader(cfg["data_path"], topic, cfg["gt_path"],
                         min_range=sensor["min_depth"],
                         max_range=sensor["max_depth"])
+    # VBR datasets ship a camera<->LiDAR calibration YAML (vbr.cfg path);
+    # parse it and hand the camera-in-LiDAR extrinsic to the wrapper
+    # (setCameraInLidar, geowrapper.cpp:94-96)
+    calib = cfg.get("calib_path")
+    if calib:
+        from mrhash_tpu.apps.utils.parse_calib_file import read_lidar_T_camera
+        kw.setdefault("camera_in_lidar", read_lidar_T_camera(calib))
     return lidar_loop(reader, cfg, config, **kw)
 
 
