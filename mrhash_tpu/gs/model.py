@@ -32,7 +32,14 @@ class OptimizationParams:
                     lambda_dssim=0.2, qtree_thresh=0.1,
                     qtree_min_pixel_size=1, kf_thresh=50, kf_iters=5,
                     non_kf_iters=3, random_kf_num=2, global_iters=10,
-                    keep_all_frames=False)
+                    keep_all_frames=False,
+                    # keyframe store bound (ours; the reference appends GT
+                    # tensors without limit, gaussian_data_structures.cpp:
+                    # 33-44 — unbounded device memory on long runs).  Ring
+                    # semantics: the oldest keyframe is overwritten.  At u8
+                    # HWC storage a 1200x680 keyframe is 2.45 MB, so the
+                    # default bounds the store at ~0.6 GB.
+                    max_keyframes=256)
 
     def __init__(self, path=None):
         vals = dict(self.DEFAULTS)
@@ -241,15 +248,41 @@ class GaussianModel:
             jnp.asarray(sc_p), jnp.int32(self.count), jnp.int32(n))
         self.count += n
 
-    def save_ply(self, path, iteration=0):
+    def save_ply(self, path, iteration=0, blocking=False):
         """Save_ply (gaussian.cu:260-282): binary PLY with the Inria
-        attribute layout."""
-        import os
+        attribute layout.  Like the reference (detached writer thread,
+        gaussian.cu:274-281), the parameters are snapshotted to host
+        synchronously and the file write runs on a background thread;
+        pass blocking=True (or call wait_ply()) to join it."""
+        import threading
         n = self.count
         p = jax.device_get(jax.tree.map(lambda x: x[:n], self.params))
+        fname = self._ply_path(path, iteration)
+        t = threading.Thread(target=self._write_ply, args=(fname, n, p))
+        t.start()
+        self._ply_thread = t
+        if blocking:
+            t.join()
+        return fname
+
+    def wait_ply(self):
+        """Join an in-flight background PLY write (no-op if none)."""
+        t = getattr(self, "_ply_thread", None)
+        if t is not None:
+            t.join()
+            self._ply_thread = None
+
+    @staticmethod
+    def _ply_path(path, iteration):
+        import os
+        os.makedirs(path, exist_ok=True)
+        return os.path.join(path, f"point_cloud_{iteration}.ply")
+
+    def _write_ply(self, fname, n, p):
+        n_rest = p["f_rest"].shape[1]
         names = (["x", "y", "z", "nx", "ny", "nz"]
                  + [f"f_dc_{i}" for i in range(3)]
-                 + [f"f_rest_{i}" for i in range(3 * self.n_rest)]
+                 + [f"f_rest_{i}" for i in range(3 * n_rest)]
                  + ["opacity"]
                  + [f"scale_{i}" for i in range(3)]
                  + [f"rot_{i}" for i in range(4)])
@@ -258,8 +291,6 @@ class GaussianModel:
             p["f_dc"].transpose(0, 2, 1).reshape(n, -1),
             p["f_rest"].transpose(0, 2, 1).reshape(n, -1),
             p["opacity"], p["scaling"], p["rotation"]], axis=1)
-        os.makedirs(path, exist_ok=True)
-        fname = os.path.join(path, f"point_cloud_{iteration}.ply")
         rec = np.rec.fromarrays(
             [cols[:, i].astype("<f4") for i in range(cols.shape[1])],
             names=",".join(names))
@@ -270,4 +301,3 @@ class GaussianModel:
             header += ["end_header", ""]
             fh.write("\n".join(header).encode())
             rec.tofile(fh)
-        return fname

@@ -141,7 +141,8 @@ def test_losses():
 
 def test_model_save_ply(tmp_path):
     m = make_model(n=16)
-    f = m.save_ply(str(tmp_path), 7)
+    f = m.save_ply(str(tmp_path), 7)   # background writer thread
+    m.wait_ply()
     data = open(f, "rb").read()
     assert b"element vertex 16" in data
     assert b"f_rest_44" in data  # SH degree 3: 15 coeffs x 3 channels

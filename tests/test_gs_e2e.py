@@ -70,7 +70,7 @@ def test_gs_container_end_to_end(gs_params_file, tmp_path):
     psnr2 = float(losses.psnr(img2, gt))
     assert np.isfinite(psnr2)
 
-    out = gs.save_ply(str(tmp_path), 5)
+    out = gs.save_ply(str(tmp_path), 5, blocking=True)
     assert b"element vertex" in open(out, "rb").read(200)
 
 

@@ -144,12 +144,13 @@ def main():
     m = gc.model
     step = gc._train_step_fn(rows, cols)
     cam_d = _cam_dict(cam1)
+    gt_u8 = jnp.asarray(rgb1, jnp.uint8)
     gt = jnp.clip(jnp.asarray(rgb1, jnp.float32).transpose(2, 0, 1) / 255.0,
                   0.0, 1.0)
     t0 = time.perf_counter()
     for _ in range(args.train_iters):
         m.params, m.opt_state, loss = step(m.params, m.opt_state, m.count,
-                                           cam_d, gt)
+                                           cam_d, gt_u8)
     jax.block_until_ready(m.params["xyz"])
     it_ms = (time.perf_counter() - t0) * 1e3 / args.train_iters
     img = gc.render_view(cam1)
