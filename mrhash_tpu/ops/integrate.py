@@ -1448,12 +1448,19 @@ def fused_integrate_points(cfg: MapConfig, table: H.HashTable,
 # garbage collection
 # ---------------------------------------------------------------------------
 
-def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid):
+def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid,
+                axis_name=None):
     """Geometry half of starveVoxelsKernel: the [A,512] mask of front-most
     (per pixel) window voxels.  Reads no pool data — callers apply the
     weight decrement via apply_starve (possibly split across pools, as the
     multi-res resident pipeline does for rows coarsening released
-    mid-frame)."""
+    mid-frame).
+
+    axis_name: when set (SPMD path, parallel/sharding.py), the per-pixel
+    z-buffer is pmin-merged across the mesh axis after the local
+    scatter-min, so every shard's winner test reads the GLOBAL front
+    depth.  Semantics stay D11 (all exact-depth ties starve) on both the
+    single-chip and sharded paths, so the two are bit-equal."""
     vvs = cfg.virtual_voxel_size
     prow, lane0 = _block_rows(bptr, bvalid)
     pi, lane_valid = _block_voxel_grid(bpos, bres, lane0)
@@ -1468,6 +1475,8 @@ def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid):
     pix = jnp.where(ok, row * cam.cols + col, HW).reshape(-1)
     d = jnp.where(ok, depth, FAR).reshape(-1)
     zbuf = jnp.full((HW,), FAR, jnp.float32).at[pix].min(d, mode="drop")
+    if axis_name is not None:
+        zbuf = jax.lax.pmin(zbuf, axis_name)
 
     if cfg.sample_mode in ("patch", "pallas", "fused"):
         zimg = zbuf.reshape(cam.rows, cam.cols)

@@ -201,37 +201,16 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
         return table_out, pool, stats
 
     def _sharded_starve(lcfg, pool, cam, bpos, bptr, bres, bvalid):
-        """starveVoxels with the depth z-buffer reduced across devices."""
-        vvs = lcfg.virtual_voxel_size
-        prow, lane0 = I._block_rows(bptr, bvalid)
-        pi, lane_valid = I._block_voxel_grid(bpos, bres, lane0)
-        pf = pi.astype(jnp.float32) * vvs
-        pcam = C.world_to_cam(cam, pf)
-        row, col, ok = C.project_point(cam, pcam)
-        depth = C.get_depth(cam, pcam)
-        ok = ok & (depth >= cam.min_depth) & bvalid[:, None] & lane_valid
-        HW = cam.rows * cam.cols
-        pix = jnp.where(ok, row * cam.cols + col, HW).reshape(-1)
-        d = jnp.where(ok, depth, jnp.inf).reshape(-1)
-        zbuf = jnp.full((HW,), jnp.inf, jnp.float32).at[pix].min(
-            d, mode="drop")
-        zbuf = jax.lax.pmin(zbuf, AXIS)
-        me = jax.lax.axis_index(AXIS)
-        is_front = ok.reshape(-1) & (d == zbuf[jnp.where(pix < HW, pix, 0)])
-        # global tie-break: (device, local tid) lexicographic via offset ids
-        tid = (jnp.arange(d.shape[0], dtype=jnp.int32)
-               + me * d.shape[0])
-        tbuf = jnp.full((HW,), jnp.iinfo(jnp.int32).max, jnp.int32).at[
-            jnp.where(is_front, pix, HW)].min(tid, mode="drop")
-        tbuf = jax.lax.pmin(tbuf, AXIS)
-        starved = (is_front
-                   & (tbuf[jnp.where(pix < HW, pix, 0)] == tid)).reshape(
-            (-1, P.TOTAL_SDF_BLOCK_SIZE))
-        w0 = pool.weight[prow]
-        return I._scatter_block_rows(
-            pool, prow, bres, bvalid, starved,
-            dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0),
-            multires=lcfg.sdf_var_threshold > 0.0, lane0=lane0)
+        """starveVoxels with the depth z-buffer pmin-merged across devices
+        (ops/integrate.starve_mask axis_name path).  Same D11 semantics as
+        the single-chip starve — all exact-depth ties starve — so the
+        sharded map stays bit-equal to the single-chip map; the reference's
+        lowest-thread-id tie-break (voxel_data_structures.cu:1629-1639) is
+        a reproducibility device, not a correctness requirement, and
+        cross-device thread ids would be meaningless anyway."""
+        starved = I.starve_mask(lcfg, cam, bpos, bptr, bres, bvalid,
+                                axis_name=AXIS)
+        return I.apply_starve(lcfg, pool, bptr, bres, bvalid, starved)
 
     gn = lcfg.num_blocks * n
     s = PSpec(AXIS)
@@ -364,35 +343,10 @@ def sharded_integrate_points(cfg: MapConfig, mesh: Mesh):
         return table_out, pool, stats
 
     def _sharded_starve_points(lcfg, pool, cam, bpos, bptr, bres, bvalid):
-        """Same global-pmin z-buffer as the RGB-D starve."""
-        vvs = lcfg.virtual_voxel_size
-        prow, lane0 = I._block_rows(bptr, bvalid)
-        pi, lane_valid = I._block_voxel_grid(bpos, bres, lane0)
-        pf = pi.astype(jnp.float32) * vvs
-        pcam = C.world_to_cam(cam, pf)
-        row, col, ok = C.project_point(cam, pcam)
-        depth = C.get_depth(cam, pcam)
-        ok = ok & (depth >= cam.min_depth) & bvalid[:, None] & lane_valid
-        HW = cam.rows * cam.cols
-        pix = jnp.where(ok, row * cam.cols + col, HW).reshape(-1)
-        d = jnp.where(ok, depth, jnp.inf).reshape(-1)
-        zbuf = jnp.full((HW,), jnp.inf, jnp.float32).at[pix].min(
-            d, mode="drop")
-        zbuf = jax.lax.pmin(zbuf, AXIS)
-        me = jax.lax.axis_index(AXIS)
-        is_front = ok.reshape(-1) & (d == zbuf[jnp.where(pix < HW, pix, 0)])
-        tid = jnp.arange(d.shape[0], dtype=jnp.int32) + me * d.shape[0]
-        tbuf = jnp.full((HW,), jnp.iinfo(jnp.int32).max, jnp.int32).at[
-            jnp.where(is_front, pix, HW)].min(tid, mode="drop")
-        tbuf = jax.lax.pmin(tbuf, AXIS)
-        starved = (is_front
-                   & (tbuf[jnp.where(pix < HW, pix, 0)] == tid)).reshape(
-            (-1, P.TOTAL_SDF_BLOCK_SIZE))
-        w0 = pool.weight[prow]
-        return I._scatter_block_rows(
-            pool, prow, bres, bvalid, starved,
-            dict(weight=jnp.maximum(0, w0 - 1)), dict(weight=w0),
-            multires=lcfg.sdf_var_threshold > 0.0, lane0=lane0)
+        """Same global-pmin z-buffer as the RGB-D _sharded_starve."""
+        starved = I.starve_mask(lcfg, cam, bpos, bptr, bres, bvalid,
+                                axis_name=AXIS)
+        return I.apply_starve(lcfg, pool, bptr, bres, bvalid, starved)
 
     gn = lcfg.num_blocks * n
     s = PSpec(AXIS)
