@@ -33,6 +33,29 @@ def resident_enabled(cfg: MapConfig) -> bool:
                  or cfg.resident_plain_rows > 0))
 
 
+def _tiered_coarsen(cfg: MapConfig, frame, decide, chain_of_u, skip, *args):
+    """Dispatch the coarsen chain at a capacity fitted to the decide count.
+
+    The free/clear/insert/reintegrate chain costs O(serve capacity) no
+    matter how few blocks decided (round-2 VERDICT weak #1: 25.3 + 21.7 ms
+    at u=4096 for a decide count of 4).  Steady-state trickles ride the
+    small cfg.coarsen_tier program; a burst (> tier decisions) takes the
+    full-capacity program.  Both branches compile once; exactly one runs.
+    chain_of_u(u) must return a (table, pool, ...) -> outputs callable with
+    tier-independent output shapes."""
+    n_dec = jnp.sum(decide.astype(jnp.int32))
+    u_full = cfg.max_coarsen_per_frame
+    u_tier = cfg.coarsen_tier
+    if 0 < u_tier < u_full:
+        small, full = chain_of_u(u_tier), chain_of_u(u_full)
+
+        def dispatch(*a):
+            return jax.lax.cond(n_dec <= u_tier, small, full, *a)
+    else:
+        dispatch = chain_of_u(u_full)
+    return jax.lax.cond((frame > 0) & (n_dec > 0), dispatch, skip, *args)
+
+
 def _stats(state: MapState, count, unserved=None, extra=None):
     d = dict(occupied_blocks=count,
              high_free=state.table.high_count,
@@ -118,26 +141,28 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
         else:
             decide = I.coarsen_decide(cfg, pool, bptr, bres, bvalid)
 
-        def do_coarsen(table, pool):
-            t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
-                cfg, table, pool, slots, bpos, bptr, bres, bvalid,
-                decide=decide)
-            p = I.reintegrate_blocks(rcfg, t, p, cam, pc_depth, rgb_img,
-                                     new_slots, new_mask)
-            return t, p, freed
+        def chain_of_u(u):
+            def do_coarsen(table, pool):
+                t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
+                    cfg, table, pool, slots, bpos, bptr, bres, bvalid,
+                    decide=decide, u=u)
+                p = I.reintegrate_blocks(rcfg, t, p, cam, pc_depth, rgb_img,
+                                         new_slots, new_mask)
+                return t, p, freed
+            return do_coarsen
 
         def skip(table, pool):
             return table, pool, jnp.zeros_like(decide)
 
-        # decide.any() gates the whole free/realloc/reintegrate chain:
-        # steady-state frames (nothing left to coarsen) pay only the scalar
-        # decision math (from kernel flag lanes on the fused path).  The
-        # window is NOT recompacted (deviation D18, DESIGN.md): starve/GC
-        # below run on the pre-coarsen window minus the freed entries, so
-        # this frame's new coarse blocks starve/GC from the next frame on.
-        table, pool, coarsen_freed = jax.lax.cond(
-            (state.frame > 0) & jnp.any(decide), do_coarsen, skip,
-            table, pool)
+        # the decide count gates AND sizes the free/realloc/reintegrate
+        # chain (_tiered_coarsen): steady-state frames with nothing to
+        # coarsen pay only the scalar decision math, trickle frames the
+        # small-tier program.  The window is NOT recompacted (deviation
+        # D18, DESIGN.md): starve/GC below run on the pre-coarsen window
+        # minus the freed entries, so this frame's new coarse blocks
+        # starve/GC from the next frame on.
+        table, pool, coarsen_freed = _tiered_coarsen(
+            cfg, state.frame, decide, chain_of_u, skip, table, pool)
         bvalid = bvalid & ~coarsen_freed
 
     # --- garbage collection -------------------------------------------------
@@ -193,25 +218,31 @@ def _integrate_rgbd_resident_multires(cfg: MapConfig, state: MapState,
     rcfg = dataclasses.replace(cfg, sample_mode="pallas")
     decide = iaux["coarsen_decide"]
 
-    def do_coarsen(table, pool, rp):
-        t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
-            cfg, table, pool, slots, bpos, bptr, bres, bvalid, decide=decide)
-        # freed res-0 rows: big rows are zero-cleared; their resident data
-        # is discarded with them — just drop residency
-        rp2 = RES.release_rows(rp, bptr // 512, rm["eslot"], freed & slotted)
-        # new carve rows may be resident via sibling carves: flush + release
-        # before reintegrate writes their windows through the big pool
-        safe = jnp.where(new_mask, new_slots, 0)
-        rp2, p = RES.flush_release_rows(rp2, p, t.ptr[safe] // 512, new_mask)
-        p = I.reintegrate_blocks(rcfg, t, p, cam, pc_depth, rgb_img,
-                                 new_slots, new_mask)
-        return t, p, rp2, freed
+    def chain_of_u(u):
+        def do_coarsen(table, pool, rp):
+            t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
+                cfg, table, pool, slots, bpos, bptr, bres, bvalid,
+                decide=decide, u=u)
+            # freed res-0 rows: big rows are zero-cleared; their resident
+            # data is discarded with them — just drop residency
+            rp2 = RES.release_rows(rp, bptr // 512, rm["eslot"],
+                                   freed & slotted)
+            # new carve rows may be resident via sibling carves: flush +
+            # release before reintegrate writes their windows through the
+            # big pool
+            safe = jnp.where(new_mask, new_slots, 0)
+            rp2, p = RES.flush_release_rows(rp2, p, t.ptr[safe] // 512,
+                                            new_mask)
+            p = I.reintegrate_blocks(rcfg, t, p, cam, pc_depth, rgb_img,
+                                     new_slots, new_mask)
+            return t, p, rp2, freed
+        return do_coarsen
 
     def skip(table, pool, rp):
         return table, pool, rp, jnp.zeros_like(decide)
 
-    table, pool, rp, coarsen_freed = jax.lax.cond(
-        (frame > 0) & jnp.any(decide), do_coarsen, skip, table, pool, rp)
+    table, pool, rp, coarsen_freed = _tiered_coarsen(
+        cfg, frame, decide, chain_of_u, skip, table, pool, rp)
     bvalid = bvalid & ~coarsen_freed
 
     # --- starvation + garbage collection on the resident rows --------------
@@ -291,15 +322,18 @@ def integrate_points(cfg: MapConfig, state: MapState, cam: C.Camera,
         decide = (iaux["coarsen_decide"] if fused
                   else I.coarsen_decide(cfg, pool, bptr, bres, bvalid))
 
-        def do_coarsen(table, pool):
-            t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
-                cfg, table, pool, slots, bpos, bptr, bres, bvalid,
-                decide=decide)
-            # NOTE: reference quirk preserved — the 3D reintegrate wrapper
-            # launches the plain integrate kernel (voxel_data_structures.cu:
-            # 1560-1580), which only touches frustum-projected voxels; for
-            # the 3D path new coarse blocks are refilled on later frames.
-            return t, p, freed
+        def chain_of_u(u):
+            def do_coarsen(table, pool):
+                t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
+                    cfg, table, pool, slots, bpos, bptr, bres, bvalid,
+                    decide=decide, u=u)
+                # NOTE: reference quirk preserved — the 3D reintegrate
+                # wrapper launches the plain integrate kernel
+                # (voxel_data_structures.cu:1560-1580), which only touches
+                # frustum-projected voxels; for the 3D path new coarse
+                # blocks are refilled on later frames.
+                return t, p, freed
+            return do_coarsen
 
         def skip(table, pool):
             return table, pool, jnp.zeros_like(decide)
@@ -307,9 +341,8 @@ def integrate_points(cfg: MapConfig, state: MapState, cam: C.Camera,
         # no mid-frame recompact (deviation D18, like the RGB-D path):
         # starve/GC below run on the pre-coarsen window minus the freed
         # entries; this frame's new coarse blocks starve/GC next frame
-        table, pool, coarsen_freed = jax.lax.cond(
-            (state.frame > 0) & jnp.any(decide), do_coarsen, skip,
-            table, pool)
+        table, pool, coarsen_freed = _tiered_coarsen(
+            cfg, state.frame, decide, chain_of_u, skip, table, pool)
         bvalid = bvalid & ~coarsen_freed
 
     if cfg.n_frames_invalidate_voxels > 0:

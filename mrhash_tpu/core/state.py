@@ -186,6 +186,14 @@ class MapConfig:
                                              # decides, not by actual work —
                                              # coarsen+reintegrate measured
                                              # ~33 ms gross at 4096, v5e)
+    coarsen_tier: int = 1 << 6               # small-tier serve capacity: when
+                                             # the decide count fits, the
+                                             # coarsen chain dispatches at
+                                             # this capacity instead of
+                                             # max_coarsen_per_frame (chain
+                                             # cost is O(capacity); the
+                                             # steady-state trickle is a
+                                             # handful of blocks).  0 = off.
     max_gc_free_per_frame: int = 1 << 10     # GC free+clear set per frame
                                              # (same capacity-cost rule)
     low_split_chunk: int = 1 << 10           # high blocks split per refill

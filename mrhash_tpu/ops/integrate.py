@@ -1658,11 +1658,17 @@ def coarsen_decide(cfg: MapConfig, pool: VoxelPool, bptr, bres, bvalid):
 
 
 def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
-                        slots, bpos, bptr, bres, bvalid, decide=None):
+                        slots, bpos, bptr, bres, bvalid, decide=None,
+                        u=None):
     """checkVarSDFKernel + reallocBlocks (voxel_data_structures.cu:
     1856-2069): res-0 blocks whose average SDF variance is below threshold
     are freed and re-allocated at res 1 (drawing from the low heap, refilled
     by splitting high blocks when short).
+
+    u overrides the serve capacity (tiered dispatch: the whole free/clear/
+    insert/reintegrate chain costs O(u), and the steady-state trickle is a
+    handful of decisions — callers pick a small tier when the decide count
+    fits, see pipeline._tiered_coarsen).
 
     Returns (table', pool', new_slots[u], new_mask[u], served[A]) — the
     re-allocated coarse blocks to re-integrate, and the window entries
@@ -1672,10 +1678,11 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     if decide is None:
         decide = coarsen_decide(cfg, pool, bptr, bres, bvalid)
 
-    # serve at most max_coarsen_per_frame decisions per frame; the rest
-    # stay FINE and re-decide next frame (freeing beyond the re-alloc
-    # budget would drop their data without a coarse replacement)
-    u = cfg.max_coarsen_per_frame
+    # serve at most u decisions per frame; the rest stay FINE and re-decide
+    # next frame (freeing beyond the re-alloc budget would drop their data
+    # without a coarse replacement)
+    if u is None:
+        u = cfg.max_coarsen_per_frame
     rank = jnp.cumsum(decide.astype(jnp.int32)) - 1
     served = decide & (rank < u)
 
