@@ -319,9 +319,15 @@ def _blend_bwd(res, cts):
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 
 
-def render(params, active, cam, bg_color, sh_degree, max_per_tile=128):
+def render(params, active, cam, bg_color, sh_degree, max_per_tile=128,
+           blend_impl="auto"):
     """Full forward render -> (image f32[3,H,W], radii [G]).  Differentiable
-    w.r.t. params through the gathered per-gaussian attributes."""
+    w.r.t. params through the gathered per-gaussian attributes.
+
+    blend_impl: "auto" picks the Pallas tile-blend kernels on TPU (the XLA
+    scan pays ~0.1 ms of dispatch per one of the K composite steps —
+    BENCH_GS cap sweep) and the XLA scan elsewhere; "xla" / "pallas" /
+    "pallas_interpret" force a path."""
     H, W = cam["H"], cam["W"]
     grid_x = (W + BLOCK - 1) // BLOCK
     grid_y = (H + BLOCK - 1) // BLOCK
@@ -372,8 +378,18 @@ def render(params, active, cam, bg_color, sh_degree, max_per_tile=128):
         [(tile_x0[:, None] + pin[None, :] % BLOCK).astype(jnp.float32),
          (tile_y0[:, None] + pin[None, :] // BLOCK).astype(jnp.float32)], -1)
 
-    Tfin, Cfin = blend_tiles(txy, tconic, topac, trgb,
-                             lvalid.astype(jnp.float32), pixf)
+    if blend_impl == "auto":
+        # axon registers the TPU platform under its own name — anything
+        # non-cpu is the real chip (same convention as core.pipeline)
+        blend_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if blend_impl.startswith("pallas"):
+        from mrhash_tpu.gs import blend_pallas as BP
+        Tfin, Cfin = BP.blend_tiles(blend_impl == "pallas_interpret",
+                                    txy, tconic, topac, trgb,
+                                    lvalid.astype(jnp.float32), pixf)
+    else:
+        Tfin, Cfin = blend_tiles(txy, tconic, topac, trgb,
+                                 lvalid.astype(jnp.float32), pixf)
 
     out = Cfin + Tfin[..., None] * bg_color[None, None, :]
 

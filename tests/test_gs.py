@@ -193,3 +193,50 @@ def test_blend_custom_vjp_matches_autodiff():
     (Tf2, Cf2), _ = R._blend_forward(txy, tconic, topac, trgb, lvalid, pixf)
     np.testing.assert_allclose(np.asarray(Tf1), np.asarray(Tf2), atol=1e-7)
     np.testing.assert_allclose(np.asarray(Cf1), np.asarray(Cf2), atol=1e-7)
+
+
+def test_blend_pallas_matches_xla():
+    """The Pallas tile-blend kernels (gs/blend_pallas.py) must reproduce the
+    XLA scan blend bit-for-bit-ish (same gates, same order) in forward AND
+    backward, including non-multiple-of-batch tile counts (padding path).
+    Runs the kernels in interpret mode on CPU."""
+    from mrhash_tpu.gs import blend_pallas as BP
+    from mrhash_tpu.gs import rasterizer as R
+
+    rng = np.random.default_rng(1)
+    T, K = 11, 16   # T not a multiple of TILE_BATCH; K multiple of UNROLL
+    P = R.BLOCK * R.BLOCK
+    txy = jnp.asarray(rng.uniform(0, R.BLOCK, (T, K, 2)), jnp.float32)
+    a = rng.uniform(0.05, 0.6, (T, K))
+    c = rng.uniform(0.05, 0.6, (T, K))
+    b = rng.uniform(-0.1, 0.1, (T, K))
+    tconic = jnp.asarray(np.stack([a, b, c], -1), jnp.float32)
+    topac = jnp.asarray(rng.uniform(0.2, 1.2, (T, K)), jnp.float32)
+    trgb = jnp.asarray(rng.uniform(0, 1, (T, K, 3)), jnp.float32)
+    lvalid = jnp.asarray(rng.uniform(0, 1, (T, K)) > 0.2, jnp.float32)
+    pin = jnp.arange(P, dtype=jnp.int32)
+    pixf = jnp.stack([jnp.broadcast_to((pin % R.BLOCK).astype(jnp.float32),
+                                       (T, P)),
+                      jnp.broadcast_to((pin // R.BLOCK).astype(jnp.float32),
+                                       (T, P))], -1)
+
+    Tf_x, Cf_x = R.blend_tiles(txy, tconic, topac, trgb, lvalid, pixf)
+    Tf_p, Cf_p = BP.blend_tiles(True, txy, tconic, topac, trgb, lvalid,
+                                pixf)
+    np.testing.assert_allclose(np.asarray(Tf_p), np.asarray(Tf_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Cf_p), np.asarray(Cf_x), atol=1e-6)
+
+    def loss_x(txy, tconic, topac, trgb):
+        Tf, Cf = R.blend_tiles(txy, tconic, topac, trgb, lvalid, pixf)
+        return jnp.sum(Cf * Cf) + 2.0 * jnp.sum(Tf)
+
+    def loss_p(txy, tconic, topac, trgb):
+        Tf, Cf = BP.blend_tiles(True, txy, tconic, topac, trgb, lvalid,
+                                pixf)
+        return jnp.sum(Cf * Cf) + 2.0 * jnp.sum(Tf)
+
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(txy, tconic, topac, trgb)
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(txy, tconic, topac, trgb)
+    for name, x, y in zip(("xy", "conic", "opac", "rgb"), gx, gp):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
