@@ -18,12 +18,13 @@ import numpy as np
 BASELINE_FPS = 48.9  # Replica single-res, docs/index.html runtime table
 
 
-def synthetic_room_depth(rows, cols, cam, rng):
-    """Depth for a 6 m box room viewed from inside: world-space ray-box
-    intersection consistent with the camera's pose, so re-observing the room
-    from another pose sees the SAME world geometry (an earlier version
-    intersected in the camera frame, which rotated the room with the camera
-    and allocated a fresh phantom shell every frame)."""
+def synthetic_room_depth(rows, cols, cam, rng, half=3.0):
+    """Depth for a box room (side 2*half metres) viewed from inside:
+    world-space ray-box intersection consistent with the camera's pose, so
+    re-observing the room from another pose sees the SAME world geometry
+    (an earlier version intersected in the camera frame, which rotated the
+    room with the camera and allocated a fresh phantom shell every
+    frame)."""
     import jax.numpy as jnp
 
     from mrhash_tpu.ops import camera as C
@@ -35,10 +36,10 @@ def synthetic_room_depth(rows, cols, cam, rng):
     d_cam = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
     d_w = jnp.einsum("ij,rcj->rci", cam.rot, d_cam)   # cam->world rotation
     org = cam.trans
-    # box [-3,3]^3 centred on origin: slab intersection from org along d_w
+    # box [-half,half]^3 centred on origin: slab intersection along d_w
     inv = jnp.where(jnp.abs(d_w) > 1e-6, 1.0 / d_w, jnp.inf)
-    t1 = (-3.0 - org) * inv
-    t2 = (3.0 - org) * inv
+    t1 = (-half - org) * inv
+    t2 = (half - org) * inv
     t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
     depth = t_far * d_cam[..., 2]  # depth image stores camera z
     noise = jnp.asarray(rng.normal(0, 0.003, (rows, cols)), jnp.float32)

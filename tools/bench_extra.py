@@ -349,7 +349,82 @@ def bench_lidar(multires=False):
     return rec
 
 
-ALL = ("multires", "lidar", "lidar_multires", "scannet", "scannet_multires")
+def bench_occsweep():
+    """Occupancy-sensitivity row (round-2 VERDICT weak/missing #1): the
+    headline Replica-like protocol with a 9 m box room (2.25x the surface
+    area of bench.py's 6 m room -> ~2x the block occupancy), single-res.
+    Shows the measured occupancy slope of the headline FPS claim."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import synthetic_room_depth
+    from mrhash_tpu.core import pipeline
+    from mrhash_tpu.core.state import (MapConfig, make_resident, make_state)
+    from mrhash_tpu.ops import camera as C
+
+    rows, cols = 680, 1200
+    sample_mode = "fused" if jax.default_backend() != "cpu" else "gather"
+    cfg = MapConfig(
+        virtual_voxel_size=0.01, sdf_truncation=0.07,
+        sdf_truncation_scale=0.0, integration_weight_sample=1,
+        max_integration_distance=30.0, n_frames_invalidate_voxels=100,
+        num_blocks=1 << 19, max_active_blocks=1 << 17, num_buckets=1 << 17,
+        max_alloc_per_frame=1 << 13, sample_mode=sample_mode, alloc_tile=4,
+        resident_rows=(1 << 17) if sample_mode == "fused" else 0)
+    cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
+                         rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
+    rng = np.random.default_rng(0)
+    state = make_state(cfg.num_blocks, cfg.num_buckets or None,
+                       cfg.resident_rows)
+    orbit = 40
+    n_warmup, n_frames = orbit, 20
+    rgb = jnp.asarray(rng.integers(0, 255, (rows, cols, 3)), jnp.uint8)
+
+    def frame_cam(i):
+        th = 2.0 * np.pi * (i % orbit) / orbit
+        rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        t = np.array([0.05 * np.sin(th), 0.02 * np.cos(th), 0.0], np.float32)
+        return C.with_pose(cam0, jnp.asarray(rot), jnp.asarray(t))
+
+    depths = [synthetic_room_depth(rows, cols, frame_cam(i), rng, half=4.5)
+              for i in range(orbit)]
+
+    step = pipeline.jit_integrate_rgbd(cfg)
+    occ_max = 0
+    for i in range(n_warmup):
+        state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
+        occ_max = max(occ_max, int(stats["occupied_blocks"]))
+    bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
+    bucket = min(bucket, cfg.max_active_blocks)
+    cfg_run = dataclasses.replace(
+        cfg, max_active_blocks=bucket,
+        resident_rows=bucket if cfg.resident_rows else 0)
+    if cfg.resident_rows:
+        state = state.replace(resident=make_resident(cfg.num_blocks, bucket))
+    step = pipeline.jit_integrate_rgbd(cfg_run)
+    for i in range(n_warmup, 2 * n_warmup):
+        state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
+    jax.block_until_ready(stats["occupied_blocks"])
+    print(f"# occsweep: occ_max {occ_max}, bucket {bucket}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(2 * n_warmup, 2 * n_warmup + n_frames):
+        state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
+    final_occ = int(stats["occupied_blocks"])   # host fetch = real fence
+    dt = (time.perf_counter() - t0) / n_frames
+    fps = 1.0 / dt
+    rec = {"metric": "tsdf_integration_fps_replica_like_occ2x",
+           "value": round(fps, 2), "unit": "frames/s",
+           "vs_baseline": round(fps / 48.9, 3)}
+    print(json.dumps(rec))
+    print(f"# occsweep per-frame: {dt * 1e3:.2f} ms, occupied {final_occ}"
+          f"{' CLIPPED' if final_occ >= bucket else ''}", file=sys.stderr)
+    return rec
+
+
+ALL = ("multires", "lidar", "lidar_multires", "scannet", "scannet_multires",
+       "occsweep")
 
 
 def main():
@@ -367,6 +442,8 @@ def main():
         recs.append(bench_scannet())
     if "scannet_multires" in which:
         recs.append(bench_scannet(multires=True))
+    if "occsweep" in which:
+        recs.append(bench_occsweep())
     if which == set(ALL):
         out = os.path.join(os.path.dirname(__file__), "..",
                            "BENCH_EXTRA.json")
