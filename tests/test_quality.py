@@ -22,3 +22,22 @@ def test_box_room_quality_small():
     assert r5["chamfer_l1"] < 0.025, r5
     assert r5["fscore"] > 0.97, r5
     assert r5["precision"] > 0.97, r5
+
+
+def test_clutter_room_quality_small_multires():
+    """Cluttered scene (oblique boxes/spheres/ramp, quality_eval
+    CLUTTER_OBJECTS) with variance coarsening ON: exercises depth
+    discontinuities in the tile allocator and the mixed-resolution
+    boundary meshing (D1/D5/D6) that the empty box room never hits.
+    Calibrated on this protocol: Chamfer 0.0254 m / F 0.876 / P 0.901
+    @5cm with coarsening on (single-res sweep extract measures
+    0.0246 / 0.930 — the recall drop is the coarse-region meshing)."""
+    from quality_eval import run_quality
+    rows = run_quality(frames=12, res="small", n_eval_points=100_000,
+                       mesh_path="/tmp/quality_mesh_clutter.ply",
+                       write_json=False, scene="clutter", multires=True,
+                       extract_mode="resident")
+    r5 = next(r for r in rows if r["threshold"] == 0.05)
+    assert r5["chamfer_l1"] < 0.030, r5
+    assert r5["fscore"] > 0.85, r5
+    assert r5["precision"] > 0.87, r5

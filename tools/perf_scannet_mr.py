@@ -432,6 +432,75 @@ def run(which):
             return t2.high_count + jnp.sum(p2.weight[:1, :8])
         clock("gc_sweep", f_gc, state.table, pool, rp)
 
+    if "starveparts" in which:
+        import jax.numpy as jnp2
+        from mrhash_tpu import params as PP
+        from mrhash_tpu.ops import coords as X
+
+        vvs = cfg.virtual_voxel_size
+        prow, lane0 = I._block_rows(bptr, bvalid)
+
+        @jax.jit
+        def f_proj(depth_img):
+            pi, lane_valid = I._block_voxel_grid(bpos, bres, lane0)
+            pf = X.virtual_voxel_pos_to_world(vvs, pi)
+            pcam = C.world_to_cam(cam, pf)
+            row, col, ok = C.project_point(cam, pcam)
+            dd = C.get_depth(cam, pcam)
+            ok = ok & (dd >= cam.min_depth) & bvalid[:, None] & lane_valid
+            return row, col, ok, dd
+        clock("  starve_proj", f_proj, depth_img)
+        row, col, ok, dd = jax.jit(f_proj)(depth_img)
+        HW = cam.rows * cam.cols
+        FAR = jnp2.float32(1e30)
+        pix = jnp2.where(ok, row * cam.cols + col, HW).reshape(-1)
+        dflat = jnp2.where(ok, dd, FAR).reshape(-1)
+
+        @jax.jit
+        def f_zbuf(pix, dflat):
+            return jnp2.full((HW,), FAR, jnp2.float32).at[pix].min(
+                dflat, mode="drop")
+        clock("  starve_zbuf_scattermin", f_zbuf, pix, dflat)
+
+        @jax.jit
+        def f_zbuf_i32(pix, dflat):
+            di = (dflat * 2048.0).astype(jnp2.int32)
+            return jnp2.full((HW,), jnp2.iinfo(jnp2.int32).max,
+                             jnp2.int32).at[pix].min(di, mode="drop")
+        clock("  starve_zbuf_scattermin_i32", f_zbuf_i32, pix, dflat)
+
+        zbuf = jax.jit(f_zbuf)(pix, dflat)
+
+        @jax.jit
+        def f_gatherback(zbuf, pix, dflat):
+            zs = zbuf[jnp2.where(pix < HW, pix, 0)]
+            return jnp2.sum((dflat == zs).astype(jnp2.int32))
+        clock("  starve_winner_gather", f_gatherback, zbuf, pix, dflat)
+
+        @jax.jit
+        def f_winner_sampler(zbuf, depth_img):
+            import dataclasses as dc
+            scfg = dc.replace(cfg, sample_mode="pallas")
+            zimg = zbuf.reshape(cam.rows, cam.cols)
+            block_center = X.virtual_voxel_pos_to_world(
+                vvs, X.sdf_block_to_virtual_voxel_pos(bpos)) + 3.5 * vvs
+            cr, cc, _ = C.project_point_approx(
+                cam, C.world_to_cam(cam, block_center))
+            center_rc = jnp2.stack([cr, cc], axis=-1)
+            zeros_rgb = jnp2.zeros((cam.rows, cam.cols, 3), jnp2.uint8)
+            zsamp, _ = I._sample_depth_rgb(scfg, zimg, zeros_rgb, row, col,
+                                           ok, center_rc)
+            return jnp2.sum((dd == zsamp).astype(jnp2.int32))
+        clock("  starve_winner_sampler", f_winner_sampler, zbuf, depth_img)
+
+        starved = jax.jit(functools.partial(
+            I.starve_mask, cfg, cam))(bpos, bptr, bres, bvalid)
+
+        @jax.jit
+        def f_apply(pool, starved):
+            return I.apply_starve(cfg, pool, bptr, bres, bvalid, starved)
+        clock("  starve_apply", f_apply, pool, starved)
+
     if "starve" in which:
         n_big = cfg.num_blocks
         prow_e = jnp.where(bvalid, bptr // 512, n_big)

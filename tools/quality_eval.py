@@ -236,7 +236,7 @@ def cull_to_observed(gt, poses, fx, cx, cy, rows, cols, max_depth):
 
 def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
                 mesh_path="/tmp/quality_mesh.ply", write_json=True,
-                scene="box", multires=False):
+                scene="box", multires=False, extract_mode="sweep"):
     """Integrate a full orbit of the scene ("box" = empty 6 m room,
     "clutter" = room + oblique boxes/spheres/ramp), extract the mesh,
     evaluate vs analytic GT.  multires=True turns variance coarsening on
@@ -287,8 +287,22 @@ def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
           f"occupied {gw._last_occupied}", file=sys.stderr)
 
     t0 = time.perf_counter()
-    gw.extractMesh(mesh_path)
-    print(f"# extractMesh took {time.perf_counter()-t0:.1f}s",
+    if extract_mode == "resident":
+        # everything is resident in this protocol (no streaming happened):
+        # extract straight from the device map, skipping the chunk-sweep
+        # stream-out/in passes (covered by the box-scene sweep test; ~9 min
+        # on the CPU small preset)
+        from mrhash_tpu.core import mesh_post
+        from mrhash_tpu.utils import plyio
+        gw._flush_resident()
+        tri_pos, tri_col = gw._extract_resident()
+        m = mesh_post.MeshAccumulator()
+        if tri_pos.shape[0]:
+            m.add_triangles(tri_pos, tri_col)
+        plyio.write_mesh_ply(mesh_path, m.vertices, m.faces, m.colors)
+    else:
+        gw.extractMesh(mesh_path)
+    print(f"# extract[{extract_mode}] took {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
     verts, faces = read_mesh_ply(mesh_path)
