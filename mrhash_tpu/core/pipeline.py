@@ -56,6 +56,24 @@ def _tiered_coarsen(cfg: MapConfig, frame, decide, chain_of_u, skip, *args):
     return jax.lax.cond((frame > 0) & (n_dec > 0), dispatch, skip, *args)
 
 
+def _starve_band_cap(cfg: MapConfig, A: int) -> int:
+    if cfg.starve_band_cap:
+        return min(int(cfg.starve_band_cap), A)
+    k = int(cfg.starve_bands)
+    return min(A, max(1024, -(-3 * A // k // 512) * 512))
+
+
+def _starve_fire(cfg: MapConfig, frame):
+    """(fire, band): banded starve runs on the cfg.starve_bands consecutive
+    frames after each n_frames_invalidate_voxels boundary (band = offset);
+    the classic one-shot event is bands == 1."""
+    n = cfg.n_frames_invalidate_voxels
+    k = int(cfg.starve_bands)
+    if k <= 1:
+        return (frame > 0) & (frame % n == 0), jnp.int32(0)
+    return (frame >= n) & (frame % n < k), (frame % n).astype(jnp.int32)
+
+
 def _stats(state: MapState, count, unserved=None, extra=None):
     d = dict(occupied_blocks=count,
              high_free=state.table.high_count,
@@ -100,12 +118,28 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
         A = bptr.shape[0]
         rptr = jnp.arange(A, dtype=jnp.int32) * 512
         if cfg.n_frames_invalidate_voxels > 0:
-            n = cfg.n_frames_invalidate_voxels
-            rpool = jax.lax.cond(
-                (state.frame > 0) & (state.frame % n == 0),
-                lambda p: I.starve_voxels(cfg, p, cam, bpos, rptr, bres,
-                                          bvalid),
-                lambda p: p, rpool)
+            fire, band = _starve_fire(cfg, state.frame)
+            if int(cfg.starve_bands) > 1:
+                k = int(cfg.starve_bands)
+                cap = _starve_band_cap(cfg, A)
+
+                def do_band(p):
+                    sel, selok, lo, hi = I.starve_band_select(
+                        cfg, cam, bpos, bvalid, band, k, cap)
+                    s = jnp.where(selok, sel, 0)
+                    bv = selok & bvalid[s]
+                    starved = I.starve_mask(cfg, cam, bpos[s], rptr[s],
+                                            bres[s], bv, row_band=(lo, hi))
+                    return I.apply_starve(cfg, p, rptr[s], bres[s], bv,
+                                          starved)
+
+                rpool = jax.lax.cond(fire, do_band, lambda p: p, rpool)
+            else:
+                rpool = jax.lax.cond(
+                    fire,
+                    lambda p: I.starve_voxels(cfg, p, cam, bpos, rptr, bres,
+                                              bvalid),
+                    lambda p: p, rpool)
             rp = rp.replace(pool=rpool)
             table, pool, rp = I.garbage_collect_sweep(
                 cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid,
@@ -167,11 +201,28 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
 
     # --- garbage collection -------------------------------------------------
     if cfg.n_frames_invalidate_voxels > 0:
-        n = cfg.n_frames_invalidate_voxels
-        pool = jax.lax.cond(
-            (state.frame > 0) & (state.frame % n == 0),
-            lambda p: I.starve_voxels(cfg, p, cam, bpos, bptr, bres, bvalid),
-            lambda p: p, pool)
+        fire, band = _starve_fire(cfg, state.frame)
+        if int(cfg.starve_bands) > 1:
+            k = int(cfg.starve_bands)
+            cap = _starve_band_cap(cfg, bptr.shape[0])
+
+            def do_band(pool):
+                sel, selok, lo, hi = I.starve_band_select(
+                    cfg, cam, bpos, bvalid, band, k, cap)
+                s = jnp.where(selok, sel, 0)
+                bv = selok & bvalid[s]
+                starved = I.starve_mask(cfg, cam, bpos[s], bptr[s], bres[s],
+                                        bv, row_band=(lo, hi))
+                return I.apply_starve(cfg, pool, bptr[s], bres[s], bv,
+                                      starved)
+
+            pool = jax.lax.cond(fire, do_band, lambda p: p, pool)
+        else:
+            pool = jax.lax.cond(
+                fire,
+                lambda p: I.starve_voxels(cfg, p, cam, bpos, bptr, bres,
+                                          bvalid),
+                lambda p: p, pool)
         # fused path: GC inputs ride the kernel out (per-entry in both
         # single-res and packed multi-res modes)
         flags = decision = None
@@ -247,7 +298,6 @@ def _integrate_rgbd_resident_multires(cfg: MapConfig, state: MapState,
 
     # --- starvation + garbage collection on the resident rows --------------
     if cfg.n_frames_invalidate_voxels > 0:
-        n = cfg.n_frames_invalidate_voxels
         # slot map RE-GATHERED after coarsen: rows coarsening flush-released
         # mid-frame (new carve rows with live siblings) are authoritative in
         # the BIG pool now, so their entries starve there instead — one
@@ -259,16 +309,36 @@ def _integrate_rgbd_resident_multires(cfg: MapConfig, state: MapState,
         rptr_now = jnp.maximum(eslot_now, 0) * 512 + rm["ecarve"] * 64
         rem = bvalid & (eslot_now < 0)
 
-        def do_starve(pool, rpool):
-            starved = I.starve_mask(cfg, cam, bpos, bptr, bres, bvalid)
-            rpool = I.apply_starve(cfg, rpool, rptr_now, bres, svalid_res,
-                                   starved)
-            pool = I.apply_starve(cfg, pool, bptr, bres, rem, starved)
-            return pool, rpool
+        fire, band = _starve_fire(cfg, frame)
+        if int(cfg.starve_bands) > 1:
+            k = int(cfg.starve_bands)
+            cap = _starve_band_cap(cfg, bptr.shape[0])
 
-        pool, rpool = jax.lax.cond(
-            (frame > 0) & (frame % n == 0), do_starve,
-            lambda p, q: (p, q), pool, rp.pool)
+            def do_band(pool, rpool):
+                sel, selok, lo, hi = I.starve_band_select(
+                    cfg, cam, bpos, bvalid, band, k, cap)
+                s = jnp.where(selok, sel, 0)
+                bv = selok & bvalid[s]
+                starved = I.starve_mask(cfg, cam, bpos[s], bptr[s], bres[s],
+                                        bv, row_band=(lo, hi))
+                rpool = I.apply_starve(cfg, rpool, rptr_now[s], bres[s],
+                                       bv & (eslot_now[s] >= 0), starved)
+                pool = I.apply_starve(cfg, pool, bptr[s], bres[s],
+                                      bv & (eslot_now[s] < 0), starved)
+                return pool, rpool
+
+            pool, rpool = jax.lax.cond(fire, do_band, lambda p, q: (p, q),
+                                       pool, rp.pool)
+        else:
+            def do_starve(pool, rpool):
+                starved = I.starve_mask(cfg, cam, bpos, bptr, bres, bvalid)
+                rpool = I.apply_starve(cfg, rpool, rptr_now, bres,
+                                       svalid_res, starved)
+                pool = I.apply_starve(cfg, pool, bptr, bres, rem, starved)
+                return pool, rpool
+
+            pool, rpool = jax.lax.cond(fire, do_starve,
+                                       lambda p, q: (p, q), pool, rp.pool)
         rp = rp.replace(pool=rpool)
         table, pool, rp = I.garbage_collect_sweep(
             cfg, table, pool, cam, slots, bpos, bptr, bres, bvalid,

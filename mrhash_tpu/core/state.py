@@ -186,6 +186,21 @@ class MapConfig:
                                              # decides, not by actual work —
                                              # coarsen+reintegrate measured
                                              # ~33 ms gross at 4096, v5e)
+    starve_bands: int = 1                    # >1: split each starve event
+                                             # over this many consecutive
+                                             # frames, one image-row band
+                                             # per frame (exact per-pixel
+                                             # winner; RGB-D paths only).
+                                             # The one-shot event costs two
+                                             # element-granular passes over
+                                             # EVERY window voxel (69 ms at
+                                             # ScanNet scale = 3.7x median);
+                                             # banding makes each pass
+                                             # O(window/bands).
+    starve_band_cap: int = 0                 # compacted band window capacity
+                                             # (0 = auto ~3*A/bands; overflow
+                                             # blocks skip starvation this
+                                             # cycle — capacity stagger)
     coarsen_tier: int = 1 << 6               # small-tier serve capacity: when
                                              # the decide count fits, the
                                              # coarsen chain dispatches at

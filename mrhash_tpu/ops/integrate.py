@@ -1448,8 +1448,43 @@ def fused_integrate_points(cfg: MapConfig, table: H.HashTable,
 # garbage collection
 # ---------------------------------------------------------------------------
 
+def starve_band_select(cfg: MapConfig, cam: C.Camera, bpos, bvalid,
+                       band, n_bands: int, cap: int):
+    """Window entries whose projected row span intersects image-row band
+    `band` of `n_bands` (banded starve, cfg.starve_bands > 1).
+
+    Exact for pinhole cameras: a block's perspective projection is the
+    convex hull of its 8 projected corners, so the corner row min/max
+    bound every voxel's row.  Blocks with any corner at or behind the
+    near plane are conservatively included in every band.  Returns
+    (sel[cap], selok[cap], band_lo, band_hi) — compacted window indices;
+    overflow beyond cap staggers (those blocks skip starvation this
+    cycle, like every other capacity cap)."""
+    vvs = cfg.virtual_voxel_size
+    ext = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+         [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]], jnp.int32)
+    corners = (bpos[:, None, :] + ext[None, :, :]).astype(jnp.float32) \
+        * (P.SDF_BLOCK_SIZE * vvs)                       # [A,8,3] world
+    pc = C.world_to_cam(cam, corners)
+    row, _, ok = C.project_point_approx(cam, pc)
+    z_ok = pc[..., 2] > cam.min_depth
+    rows_f = row.astype(jnp.int32)
+    rmin = jnp.min(jnp.where(z_ok, rows_f, jnp.int32(1 << 30)), axis=1)
+    rmax = jnp.max(jnp.where(z_ok, rows_f, jnp.int32(-(1 << 30))), axis=1)
+    any_bad = jnp.any(~z_ok, axis=1)
+
+    H_ = cam.rows
+    band = band.astype(jnp.int32)
+    lo = band * (H_ // n_bands)
+    hi = jnp.where(band == n_bands - 1, H_, (band + 1) * (H_ // n_bands))
+    hit = bvalid & (any_bad | ((rmin <= hi - 1) & (rmax >= lo)))
+    sel, selok, _ = H.compact_indices(hit, cap)
+    return sel, selok, lo, hi
+
+
 def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid,
-                axis_name=None):
+                axis_name=None, row_band=None):
     """Geometry half of starveVoxelsKernel: the [A,512] mask of front-most
     (per pixel) window voxels.  Reads no pool data — callers apply the
     weight decrement via apply_starve (possibly split across pools, as the
@@ -1460,7 +1495,12 @@ def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid,
     z-buffer is pmin-merged across the mesh axis after the local
     scatter-min, so every shard's winner test reads the GLOBAL front
     depth.  Semantics stay D11 (all exact-depth ties starve) on both the
-    single-chip and sharded paths, so the two are bit-equal."""
+    single-chip and sharded paths, so the two are bit-equal.
+
+    row_band=(lo, hi): banded starve — only voxels whose own pixel row is
+    in [lo, hi) participate (as z-buffer sources AND as starve targets).
+    A pixel's winner is exact as long as the window passed in contains
+    every block projecting into the band (starve_band_select)."""
     vvs = cfg.virtual_voxel_size
     prow, lane0 = _block_rows(bptr, bvalid)
     pi, lane_valid = _block_voxel_grid(bpos, bres, lane0)
@@ -1469,6 +1509,8 @@ def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid,
     row, col, ok = C.project_point(cam, pcam)
     depth = C.get_depth(cam, pcam)
     ok = ok & (depth >= cam.min_depth) & bvalid[:, None] & lane_valid
+    if row_band is not None:
+        ok = ok & (row >= row_band[0]) & (row < row_band[1])
 
     HW = cam.rows * cam.cols
     FAR = jnp.float32(1e30)  # finite sentinel (INF through bf16 MXU is UB)

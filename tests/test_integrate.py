@@ -250,3 +250,55 @@ def test_tile_alloc_discontinuity_covers_both_sides():
                                                      len(full_set))
     missing = full_set - tile_all
     assert len(missing) <= 0.02 * len(full_set), (len(missing), len(full_set))
+
+
+def test_banded_starve_equals_one_shot():
+    """The banded starve (cfg.starve_bands > 1) must decrement EXACTLY the
+    voxels the one-shot starveVoxels event decrements when all bands run
+    against the same state/camera: the per-band window subsets
+    (starve_band_select corner-row bounds) cover every block projecting
+    into each band, each voxel's own pixel row selects its unique band,
+    and the per-band z-buffers reproduce the global per-pixel winner."""
+    import dataclasses
+    cfg = small_cfg(n_frames_invalidate_voxels=4)
+    cam = small_cam()
+    state = make_state(cfg.num_blocks)
+    rng = np.random.default_rng(7)
+    depth = jnp.asarray(2.0 + 0.3 * rng.standard_normal((ROWS, COLS)),
+                        jnp.float32)
+    rgb = jnp.full((ROWS, COLS, 3), 128, jnp.uint8)
+    for _ in range(2):
+        state, _ = pipeline.integrate_rgbd(cfg, state, cam, depth, rgb)
+    slots, count, bpos, bptr, bres, bvalid = I.compact_active(cfg,
+                                                              state.table,
+                                                              cam)
+
+    pool_ref = I.starve_voxels(cfg, state.pool, cam, bpos, bptr, bres,
+                               bvalid)
+
+    k = 4
+    cap = bptr.shape[0]
+    pool_band = state.pool
+    for b in range(k):
+        sel, selok, lo, hi = I.starve_band_select(
+            cfg, cam, bpos, bvalid, jnp.int32(b), k, cap)
+        s = jnp.where(selok, sel, 0)
+        bv = selok & bvalid[s]
+        starved = I.starve_mask(cfg, cam, bpos[s], bptr[s], bres[s], bv,
+                                row_band=(lo, hi))
+        pool_band = I.apply_starve(cfg, pool_band, bptr[s], bres[s], bv,
+                                   starved)
+
+    w_ref = np.asarray(pool_ref.weight)
+    w_band = np.asarray(pool_band.weight)
+    w0 = np.asarray(state.pool.weight)
+    assert (w_ref < w0).any(), "one-shot starve decremented nothing"
+    np.testing.assert_array_equal(w_band, w_ref)
+
+    # pipeline wiring: the banded cfg compiles and steps through a full
+    # fire window (frames [n, n+k) = [4, 8))
+    cfgb = dataclasses.replace(cfg, starve_bands=4)
+    sb = state
+    for f in range(2, 8):
+        sb, _ = pipeline.integrate_rgbd(cfgb, sb, cam, depth, rgb)
+    assert int(sb.frame) == 8
