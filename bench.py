@@ -72,6 +72,9 @@ def main():
         num_buckets=1 << 17,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode,
         alloc_tile=4,
+        # banded starve: the one-shot z-buffer event measured 3.7x the
+        # median frame (round-2 VERDICT weak #3); 8 bands cap the spike
+        starve_bands=8,
         # resident window cache (core/resident.py): slice-addressed pack/
         # writeback instead of row scatters (fused single-res path)
         resident_rows=(1 << 17) if sample_mode == "fused" else 0)

@@ -201,7 +201,7 @@ class MapConfig:
                                              # (0 = auto ~3*A/bands; overflow
                                              # blocks skip starvation this
                                              # cycle — capacity stagger)
-    coarsen_tier: int = 1 << 6               # small-tier serve capacity: when
+    coarsen_tier: int = 1 << 7               # small-tier serve capacity: when
                                              # the decide count fits, the
                                              # coarsen chain dispatches at
                                              # this capacity instead of

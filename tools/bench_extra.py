@@ -47,7 +47,7 @@ def bench_multires():
         num_blocks=1 << 19, max_active_blocks=1 << 17,
         num_buckets=1 << 17,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode,
-        alloc_tile=4)
+        alloc_tile=4, starve_bands=8)
     cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
                          rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
     rng = np.random.default_rng(0)
@@ -155,7 +155,7 @@ def bench_scannet(multires=False):
         num_buckets=1 << 17,
         dedup_scratch_factor=8,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode,
-        alloc_tile=4, **mr_kw)
+        alloc_tile=4, starve_bands=8, **mr_kw)
     cam0 = C.make_camera(fx=577.590698, fy=578.729797, cx=318.905426,
                          cy=242.683609, rows=rows, cols=cols,
                          min_depth=0.01, max_depth=30.0)
@@ -370,6 +370,7 @@ def bench_occsweep():
         max_integration_distance=30.0, n_frames_invalidate_voxels=100,
         num_blocks=1 << 19, max_active_blocks=1 << 17, num_buckets=1 << 17,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode, alloc_tile=4,
+        starve_bands=8,
         resident_rows=(1 << 17) if sample_mode == "fused" else 0)
     cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
                          rows=rows, cols=cols, min_depth=0.01, max_depth=30.0)
