@@ -9,10 +9,12 @@ step-overhead-bound, not FLOP-bound).  Here the whole loop runs inside ONE
 Pallas grid pass over tile batches, all K steps on VMEM-resident slabs:
 
   forward  (renderCUDA, mrhash/src/gs/cuda_rasterizer/src/forward.cu:
-            249-356): per batch of B tiles, compute alpha for all (k, pixel)
-            pairs vectorized, then the K-step sequential composite on
-            [B,256] registers; emits final transmittance T, color C, and the
-            per-step blended bitmask the backward needs.
+            249-356): per batch of B tiles, the K-step sequential composite
+            on [B,256] registers, each step recomputing its alpha from the
+            step's 16-lane attr rows (pl.ds ref reads; Mosaic cannot
+            dynamic_slice precomputed vector slabs, and [K*B,256] slabs
+            would spill anyway); emits final transmittance T, color C, and
+            the per-step blended bitmask the backward needs.
   backward (renderBackwardsCUDA, backward.cu:386-594): re-walks the list
             back-to-front recovering each step's transmittance by dividing
             the saved final T by (1 - alpha_k) exactly where the blended bit
@@ -37,36 +39,39 @@ from jax.experimental import pallas as pl
 PIX = 256                 # BLOCK * BLOCK pixels per tile
 ALPHA_THRESHOLD = 1.0 / 255.0
 ALPHA_MIN = 1e-4
-TILE_BATCH = 8            # tiles per grid step
+TILE_BATCH = 16           # tiles per grid step: [b,256] composite ops are
+                          # issue-latency-bound at b=8 (measured 31.3 ms
+                          # Adam iter vs the XLA scan's 23.4); b=32 blew
+                          # the 16M scoped-vmem stack (24M) on the fwd
 UNROLL = 8                # composite steps unrolled per fori iteration
 
 
-def _alpha_slab(attr_ref, pixf_ref, K):
-    """Vectorized alpha for all (k, tile, pixel): returns (power, expp,
-    alpha, attr) with leading dim b*K in K-major order.  attr layout per
-    row: [x, y, con_a, con_b, con_c, opac, r, g, b, valid] padded to 16
-    lanes."""
-    attr = attr_ref[...]                           # [K*b, 16]
-    pixf = pixf_ref[...]                           # [b, 2*PIX] (x | y)
-    px = pixf[:, :PIX]                             # [b, PIX]
-    py = pixf[:, PIX:]
-    # K-major rows: row r belongs to tile (r % b) -> tile the pixel coords
-    pxk = jnp.tile(px, (K, 1))                     # [K*b, PIX]
-    pyk = jnp.tile(py, (K, 1))
-    dx = attr[:, 0:1] - pxk
-    dy = attr[:, 1:2] - pyk
-    power = (-0.5 * attr[:, 2:3] * dx * dx - 0.5 * attr[:, 4:5] * dy * dy
-             - attr[:, 3:4] * dx * dy)
+def _alpha_step(attr_ref, px, py, k, b):
+    """Alpha math for ONE composite step: [b, PIX] registers only.
+
+    The first cut computed all-(k, pixel) slabs ([K*b, PIX] power/expp/
+    alpha/dx/dy VALUES) upfront and dynamic_slice'd them per step — Mosaic
+    has no dynamic_slice lowering for vector values (the real-TPU compile
+    failed), and six 1 MB slabs live as spilled vector registers anyway.
+    Recomputing per step from the attr REF (pl.ds dynamic-start row reads
+    ARE supported) keeps the working set at [b, PIX] and costs the same
+    total VPU math.  attr row layout: [x, y, con_a, con_b, con_c, opac,
+    r, g, b, valid] padded to 16 lanes."""
+    at = attr_ref[pl.ds(k * b, b), :]              # [b, 16]
+    dx = at[:, 0:1] - px
+    dy = at[:, 1:2] - py
+    power = (-0.5 * at[:, 2:3] * dx * dx - 0.5 * at[:, 4:5] * dy * dy
+             - at[:, 3:4] * dx * dy)
     expp = jnp.exp(power)
-    alpha = jnp.minimum(0.99, attr[:, 5:6] * expp)
-    return power, expp, alpha, attr, dx, dy
+    alpha = jnp.minimum(0.99, at[:, 5:6] * expp)
+    return power, expp, alpha, at, dx, dy
 
 
 def _fwd_kernel(K, attr_ref, pixf_ref, tout_ref, cout_ref, mask_ref):
     b = tout_ref.shape[0]
-    power, expp, alpha, attr, _, _ = _alpha_slab(attr_ref, pixf_ref, K)
-    pre = ((attr[:, 9:10] > 0) & (power <= 0.0)
-           & (alpha >= ALPHA_THRESHOLD))
+    pixf = pixf_ref[...]                           # [b, 2*PIX] (x | y)
+    px = pixf[:, :PIX]                             # [b, PIX]
+    py = pixf[:, PIX:]
 
     T = jnp.ones((b, PIX), jnp.float32)
     Cr = jnp.zeros((b, PIX), jnp.float32)
@@ -74,9 +79,9 @@ def _fwd_kernel(K, attr_ref, pixf_ref, tout_ref, cout_ref, mask_ref):
     Cb = jnp.zeros((b, PIX), jnp.float32)
 
     def one(k, T, Cr, Cg, Cb):
-        a = jax.lax.dynamic_slice_in_dim(alpha, k * b, b, 0)
-        p = jax.lax.dynamic_slice_in_dim(pre, k * b, b, 0)
-        at = jax.lax.dynamic_slice_in_dim(attr, k * b, b, 0)
+        power, _, a, at, _, _ = _alpha_step(attr_ref, px, py, k, b)
+        p = ((at[:, 9:10] > 0) & (power <= 0.0)
+             & (a >= ALPHA_THRESHOLD))
         test_T = T * (1.0 - a)
         blended = p & (T >= ALPHA_MIN) & (test_T >= ALPHA_MIN)
         w = jnp.where(blended, a * T, 0.0)
@@ -105,7 +110,9 @@ def _fwd_kernel(K, attr_ref, pixf_ref, tout_ref, cout_ref, mask_ref):
 def _bwd_kernel(K, attr_ref, pixf_ref, tfin_ref, mask_ref, gt_ref, gc_ref,
                 gout_ref):
     b = tfin_ref.shape[0]
-    power, expp, alpha, attr, dxs, dys = _alpha_slab(attr_ref, pixf_ref, K)
+    pixf = pixf_ref[...]                            # [b, 2*PIX] (x | y)
+    px = pixf[:, :PIX]
+    py = pixf[:, PIX:]
 
     gT = gt_ref[...]                                # [b, PIX]
     gCr = gc_ref[:, 0:PIX]
@@ -114,12 +121,10 @@ def _bwd_kernel(K, attr_ref, pixf_ref, tfin_ref, mask_ref, gt_ref, gc_ref,
     Tfin = tfin_ref[...]
 
     def one(k, T_after, Sr, Sg, Sb):
-        a = jax.lax.dynamic_slice_in_dim(alpha, k * b, b, 0)
-        e = jax.lax.dynamic_slice_in_dim(expp, k * b, b, 0)
-        at = jax.lax.dynamic_slice_in_dim(attr, k * b, b, 0)
-        dx = jax.lax.dynamic_slice_in_dim(dxs, k * b, b, 0)
-        dy = jax.lax.dynamic_slice_in_dim(dys, k * b, b, 0)
-        bl = mask_ref[pl.ds(k * b, b), :] > 0
+        _, e, a, at, dx, dy = _alpha_step(attr_ref, px, py, k, b)
+        # i8 vector compares don't lower on v5e ("Target does not support
+        # this comparison"); widen the packed mask before testing
+        bl = mask_ref[pl.ds(k * b, b), :].astype(jnp.int32) > 0
         one_m = jnp.where(bl, 1.0 - a, 1.0)
         T_before = T_after / one_m
         w = jnp.where(bl, a * T_before, 0.0)

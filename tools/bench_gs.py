@@ -130,7 +130,10 @@ def main():
     gw.compute()
     t0 = time.perf_counter()
     gw._flush_resident()   # part of the per-frame GS cost (compute() hook)
-    gc.run_gs(gw.cfg, cam1, gw.state, rgb1, depth1)
+    # the compute() hook hands run_gs the DEVICE copies it already uploaded
+    # for the TSDF step (geowrapper.compute); passing host arrays here would
+    # double-bill the 5.7 MB rgb+depth tunnel upload to the GS frame
+    gc.run_gs(gw.cfg, cam1, gw.state, gw._rgb_dev, gw._depth_dev)
     jax.block_until_ready(gc.model.params["xyz"])
     dt = (time.perf_counter() - t0) * 1e3
     print(f"# gs frame: {dt:.1f} ms (seed {gc.model.count - n0} new, "
