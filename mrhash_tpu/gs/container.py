@@ -33,6 +33,23 @@ def _cam_dict(cam: C.Camera):
                 W=cam.cols, H=cam.rows)
 
 
+def seed_candidates(cfg, threshold, min_pixel_size, max_leaves, table, pool,
+                    cam: C.Camera, depth_img, rgb_img):
+    """Quad-tree + processNodes + valid count in ONE program: the split
+    qtree / check_nodes / jnp.sum(ok) dispatches each paid ~5-8 ms of axon
+    dispatch latency per online-GS frame."""
+    leaves, leaf_valid, _, _ = build_qtree(rgb_img, threshold,
+                                           min_pixel_size, max_leaves)
+    centers, colors, scales, ok = check_nodes(cfg, table, pool, cam, leaves,
+                                              leaf_valid, depth_img, rgb_img)
+    return centers, colors, scales, ok, jnp.sum(ok.astype(jnp.int32))
+
+
+def _remainder_mask(ok, kept):
+    """Candidates the capped fast insert did NOT take: rank >= kept."""
+    return ok & (jnp.cumsum(ok.astype(jnp.int32)) - 1 >= kept)
+
+
 def check_nodes(cfg, table, pool, cam: C.Camera, leaves, leaf_valid,
                 depth_img, rgb_img):
     """processNodesKernel (gaussian_data_structures.cu:4-83): keep leaves
@@ -77,6 +94,11 @@ class GaussianContainer:
         self._check_nodes_jit = {}
         self._train_jit = {}
         self._qtree_jit = {}
+        self._seed_jit = {}
+        self._rem_mask_jit = jax.jit(_remainder_mask)
+        # fast-path seed cap per frame: bursts beyond this take the growing
+        # ladder (add_gaussians_device) after the n_valid fetch instead
+        self.fast_seed_pad = 2048
 
     # ------------------------------------------------------------------ jits
     def _qtree(self, rgb_img):
@@ -133,23 +155,59 @@ class GaussianContainer:
         depth = jnp.asarray(depth_img_np, jnp.float32)
         cam_d = _cam_dict(cam)
 
-        leaves, leaf_valid, _, _ = self._qtree(rgb)
-        # jit keyed by image shape: eager per-op dispatch of the probe loop
-        # costs seconds per frame over a remote-device link
+        # ONE fused seed program (qtree + processNodes + valid count), jit
+        # keyed by image shape: eager per-op dispatch costs seconds per
+        # frame over a remote-device link
         key = rgb.shape[:2]
-        if key not in self._check_nodes_jit:
-            self._check_nodes_jit[key] = jax.jit(functools.partial(
-                check_nodes, cfg))
-        centers, colors, scales, ok = self._check_nodes_jit[key](
-            state.table, state.pool, cam, leaves, leaf_valid, depth, rgb)
-        # only the seed COUNT crosses the tunnel; the candidate arrays are
-        # compacted and inserted on device (model.add_gaussians_device)
-        n_valid = int(jnp.sum(ok))
-        if n_valid:
-            self.model.add_gaussians_device(centers, colors, scales, ok,
-                                            n_valid)
-        if self.model.count == 0:
-            return
+        if key not in self._seed_jit:
+            self._seed_jit[key] = jax.jit(functools.partial(
+                seed_candidates, cfg, self.p.qtree_thresh,
+                self.p.qtree_min_pixel_size, self.qtree_capacity))
+        centers, colors, scales, ok, nv = self._seed_jit[key](
+            state.table, state.pool, cam, depth, rgb)
+        # only the seed COUNT crosses the tunnel, and even that fetch is
+        # ASYNC: the ~30 ms round trip hides behind the fast insert + the
+        # common train steps dispatched below
+        try:
+            nv.copy_to_host_async()
+        except Exception:
+            pass
+
+        m = self.model
+        pad = self.fast_seed_pad
+        if m.count == 0 or m.count + pad > m.size:
+            # slow path (first seeds / bucket nearly full): the bucket may
+            # need to grow, which requires n on the host before any insert
+            n_valid = int(nv)
+            if n_valid:
+                m.add_gaussians_device(centers, colors, scales, ok, n_valid)
+            if m.count == 0:
+                return
+            count_dev = jnp.int32(m.count)
+        else:
+            # fast path: capped n-free insert; count rides as a device
+            # scalar so the train steps need no host sync at all
+            count_dev = m.insert_fast(centers, colors, scales, ok, pad)
+            n_valid = None
+
+        step = self._train_step_fn(cam.rows, cam.cols)
+        common = min(self.p.kf_iters, self.p.non_kf_iters)
+        for _ in range(common):
+            m.params, m.opt_state, loss = step(m.params, m.opt_state,
+                                               count_dev, cam_d, rgb)
+
+        if n_valid is None:
+            n_valid = int(nv)    # round trip overlapped with the steps
+            kept = min(n_valid, pad, m.size - m.count)
+            m.count += kept
+            rem = n_valid - kept
+            if rem > 0:
+                # seed burst beyond the fast cap: insert the tail via the
+                # growing ladder (the `common` steps above trained without
+                # it — a one-frame skew on burst frames only)
+                ok_rem = self._rem_mask_jit(ok, jnp.int32(kept))
+                m.add_gaussians_device(centers, colors, scales, ok_rem, rem)
+                count_dev = jnp.int32(m.count)
 
         is_keyframe = n_valid > self.p.kf_thresh
         if is_keyframe or self.p.keep_all_frames:
@@ -158,19 +216,18 @@ class GaussianContainer:
             else:
                 self.keyframes[self._kf_next] = (cam_d, rgb)
                 self._kf_next = (self._kf_next + 1) % len(self.keyframes)
-        iters = self.p.kf_iters if is_keyframe else self.p.non_kf_iters
 
-        step = self._train_step_fn(cam.rows, cam.cols)
-        m = self.model
-        for _ in range(iters):
+        extra = (self.p.kf_iters if is_keyframe
+                 else self.p.non_kf_iters) - common
+        for _ in range(extra):
             m.params, m.opt_state, loss = step(m.params, m.opt_state,
-                                               m.count, cam_d, rgb)
+                                               count_dev, cam_d, rgb)
         if not is_keyframe and self.keyframes:
             k = min(self.p.random_kf_num, len(self.keyframes))
             for i in self._rng.permutation(len(self.keyframes))[:k]:
                 kf_cam, kf_gt = self.keyframes[i]
                 m.params, m.opt_state, loss = step(m.params, m.opt_state,
-                                                   m.count, kf_cam, kf_gt)
+                                                   count_dev, kf_cam, kf_gt)
 
     # ------------------------------------------------------------------ final
     def optimize_final(self):

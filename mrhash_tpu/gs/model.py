@@ -195,6 +195,62 @@ class GaussianModel:
             self._insert_masked_jit[key] = ins
         return self._insert_masked_jit[key]
 
+    def _insert_fast_fn(self, src, pad):
+        """_insert_masked_fn variant that also returns the post-insert
+        active count as a DEVICE scalar: the caller can dispatch train
+        steps on the new count without fetching n_valid first (the 4-byte
+        fetch costs a full ~30 ms tunnel round trip on axon; threading the
+        count lets that RTT hide behind the steps' device time)."""
+        if not hasattr(self, "_insert_fast_jit"):
+            self._insert_fast_jit = {}
+        key = (src, pad, self.size)
+        if key not in self._insert_fast_jit:
+            cap = self.size
+            n_rest = self.n_rest
+
+            @jax.jit
+            def ins(params, centers, colors, scales, ok, count):
+                from mrhash_tpu.ops.hashtable import compact_indices
+                sel, got, _ = compact_indices(ok, pad)
+                sel_c = jnp.where(got, sel, 0)
+                pos = centers[sel_c]
+                col = colors[sel_c].astype(jnp.float32)
+                sc = jnp.maximum(scales[sel_c], 1e-12)
+                lanes = jnp.arange(pad)
+                fits = got & (count + lanes < cap)   # bucket clamp
+                dest = jnp.where(fits, count + lanes, cap)
+                fused = rgb2sh(col / 255.0)
+                rot0 = jnp.broadcast_to(
+                    jnp.array([1.0, 0, 0, 0], jnp.float32), (pad, 4))
+                op0 = jnp.full((pad, 1),
+                               inverse_sigmoid(jnp.float32(0.5)))
+                out = dict(params)
+                out["xyz"] = params["xyz"].at[dest].set(pos, mode="drop")
+                out["scaling"] = params["scaling"].at[dest].set(
+                    jnp.log(sc)[:, None].repeat(3, 1), mode="drop")
+                out["rotation"] = params["rotation"].at[dest].set(
+                    rot0, mode="drop")
+                out["opacity"] = params["opacity"].at[dest].set(
+                    op0, mode="drop")
+                out["f_dc"] = params["f_dc"].at[dest].set(
+                    fused[:, None, :], mode="drop")
+                out["f_rest"] = params["f_rest"].at[dest].set(
+                    jnp.zeros((pad, n_rest, 3), jnp.float32), mode="drop")
+                return out, count + jnp.sum(fits.astype(jnp.int32))
+            self._insert_fast_jit[key] = ins
+        return self._insert_fast_jit[key]
+
+    def insert_fast(self, centers, colors, scales, ok, pad):
+        """Dispatch-only seed insert: writes up to `pad` ok-candidates into
+        the current bucket (never grows it) and returns the new active
+        count as a device scalar.  The HOST count is NOT updated — the
+        caller must mirror the device clamp (kept = min(n, pad,
+        size - count)) once n_valid arrives."""
+        pad = min(pad, ok.shape[0])
+        self.params, count_dev = self._insert_fast_fn(ok.shape[0], pad)(
+            self.params, centers, colors, scales, ok, jnp.int32(self.count))
+        return count_dev
+
     def add_gaussians_device(self, centers, colors, scales, ok, n_valid):
         """add_gaussians from DEVICE candidate arrays + ok mask (the
         qtree/check_nodes outputs stay on device; only the n_valid scalar

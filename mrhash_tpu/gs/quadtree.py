@@ -8,10 +8,20 @@ compaction — the whole tree builds in ~log2(max(H,W)) fused device steps.
 Node error: luma-weighted per-channel variance * (W*H)/9e7, leaf when
 error <= threshold or a child side would drop below min_pixel_size
 (quad_tree.cu:85-150).
+
+Corner lookups are ELEMENT gathers on the integral image, the slowest
+indexed form on TPU (~6-8 ms per million, DESIGN.md scatter/gather rules),
+so the layout minimises them two ways:
+- ONE combined 4-lane integral (r, g, b, luma-dotted square sum): the
+  error needs per-channel first moments but only the luma projection of
+  the second moment, so 4 corner gathers per node replace the naive 8
+  (two 3-channel integrals);
+- level-RAMPED node buffers: level l holds at most min(4^l, cap) nodes,
+  so the early levels cost 1+4+16+... gathers instead of cap each — the
+  full build touches ~2.5x fewer nodes than a flat cap-sized scan
+  (measured 112 -> ~35 ms at cap 32768, 1200x680, 12 levels on v5e).
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -37,32 +47,30 @@ def build_qtree(rgb_img, threshold, min_pixel_size, max_leaves,
     if max_levels is None:
         max_levels = max(H, W).bit_length() + 1
     img = rgb_img.astype(jnp.float32)
-    S1 = _integral(img)
-    S2 = _integral(img * img)
-    norm = (H * W) / 90_000_000.0
     luma = jnp.asarray(LUMA, jnp.float32)
+    # lanes: r, g, b first moments + luma-projected second moment
+    quad = jnp.concatenate([img, ((img * img) @ luma)[..., None]], axis=-1)
+    S = _integral(quad)
+    norm = (H * W) / 90_000_000.0
 
     cap = max_leaves
 
     def node_error(x, y, w, h):
         cnt = (w * h).astype(jnp.float32)
         cnt = jnp.where(cnt == 0, 1.0, cnt)
-        s1 = jax.vmap(lambda a, b, c, d: _rect_sum(S1, a, b, c, d))(x, y, w, h)
-        s2 = jax.vmap(lambda a, b, c, d: _rect_sum(S2, a, b, c, d))(x, y, w, h)
-        mse = s2 / cnt[:, None] - (s1 / cnt[:, None]) ** 2
-        return (mse @ luma) * norm
+        s = jax.vmap(lambda a, b, c, d: _rect_sum(S, a, b, c, d))(x, y, w, h)
+        m2l = s[:, 3] / cnt                       # E[luma . c^2]
+        m1 = s[:, :3] / cnt[:, None]              # E[c] per channel
+        return (m2l - (m1 * m1) @ luma) * norm
 
-    # node buffers: (x, y, w, h) int32
-    nodes = jnp.zeros((cap, 4), jnp.int32).at[0].set(
-        jnp.asarray([0, 0, W, H], jnp.int32))
-    node_valid = jnp.zeros((cap,), bool).at[0].set(True)
     leaves = jnp.zeros((cap, 4), jnp.int32)
     leaf_valid = jnp.zeros((cap,), bool)
     n_leaves = jnp.int32(0)
     n_overflow = jnp.int32(0)
+    nodes = jnp.asarray([[0, 0, W, H]], jnp.int32)
+    node_valid = jnp.ones((1,), bool)
 
-    def level(carry, _):
-        nodes, node_valid, leaves, leaf_valid, n_leaves, n_overflow = carry
+    for _ in range(max_levels):
         x, y, w, h = nodes[:, 0], nodes[:, 1], nodes[:, 2], nodes[:, 3]
         err = node_error(x, y, jnp.maximum(w, 0), jnp.maximum(h, 0))
         w1 = w // 2
@@ -82,7 +90,11 @@ def build_qtree(rgb_img, threshold, min_pixel_size, max_leaves,
         n_overflow = n_overflow + (produced - kept)
         n_leaves = n_leaves + kept
 
-        # children of subdivided nodes (4 per node, cumsum-packed)
+        # children of subdivided nodes (4 per node, cumsum-packed) into the
+        # next level's ramped buffer: while 4*n <= cap every child fits
+        # (base <= 4(n-1) < n_next - 3), so the overflow accounting below
+        # matches the flat cap-sized buffer exactly
+        n_next = min(4 * nodes.shape[0], cap)
         srank = jnp.cumsum(subdiv.astype(jnp.int32)) - 1
         base = srank * 4
         w2 = w - w1
@@ -91,19 +103,14 @@ def build_qtree(rgb_img, threshold, min_pixel_size, max_leaves,
             jnp.stack([x, y, w1, h1], -1),
             jnp.stack([x, y + h1, w1, h2], -1),
             jnp.stack([x + w1, y, w2, h1], -1),
-            jnp.stack([x + w1, y + h1, w2, h2], -1)], axis=1)  # [cap,4,4]
-        kdest = jnp.where((subdiv & (base < cap - 3))[:, None],
-                          base[:, None] + jnp.arange(4), cap)
-        new_nodes = jnp.zeros((cap, 4), jnp.int32).at[
+            jnp.stack([x + w1, y + h1, w2, h2], -1)], axis=1)  # [n,4,4]
+        kdest = jnp.where((subdiv & (base < n_next - 3))[:, None],
+                          base[:, None] + jnp.arange(4), n_next)
+        nodes = jnp.zeros((n_next, 4), jnp.int32).at[
             kdest.reshape(-1)].set(kids.reshape(-1, 4), mode="drop")
-        new_valid = jnp.zeros((cap,), bool).at[kdest.reshape(-1)].set(
+        node_valid = jnp.zeros((n_next,), bool).at[kdest.reshape(-1)].set(
             True, mode="drop")
         n_overflow = n_overflow + 4 * jnp.sum(
-            (subdiv & (base >= cap - 3)).astype(jnp.int32))
-        return (new_nodes, new_valid, leaves, leaf_valid, n_leaves,
-                n_overflow), None
+            (subdiv & (base >= n_next - 3)).astype(jnp.int32))
 
-    (_, _, leaves, leaf_valid, n_leaves, n_overflow), _ = jax.lax.scan(
-        level, (nodes, node_valid, leaves, leaf_valid, n_leaves, n_overflow),
-        None, length=max_levels)
     return leaves.astype(jnp.float32), leaf_valid, n_leaves, n_overflow

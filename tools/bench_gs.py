@@ -121,6 +121,10 @@ def main():
     for pad in (256, 1024, 4096, 16384):
         gc.model.params = gc.model._insert_masked_fn(src, pad)(
             gc.model.params, z3, zc, z1, no, jnp.int32(gc.model.count))
+    # fast-path programs (run_gs's n-free insert + burst remainder mask):
+    # an all-false mask writes nothing and leaves the count unchanged
+    gc.model.insert_fast(z3, zc, z1, no, gc.fast_seed_pad)
+    gc._rem_mask_jit(no, jnp.int32(0))
     # fence with a scalar fetch (block_until_ready returns early on axon)
     float(jnp.sum(gc.model.params["xyz"][:1]))
     rot, t, cam1, depth1, rgb1 = frames[1]
@@ -150,9 +154,12 @@ def main():
     gt_u8 = jnp.asarray(rgb1, jnp.uint8)
     gt = jnp.clip(jnp.asarray(rgb1, jnp.float32).transpose(2, 0, 1) / 255.0,
                   0.0, 1.0)
+    # strong-typed count matches run_gs's device-scalar signature (a weak
+    # Python int would compile a second copy of the train program)
+    cnt = jnp.int32(m.count)
     t0 = time.perf_counter()
     for _ in range(args.train_iters):
-        m.params, m.opt_state, loss = step(m.params, m.opt_state, m.count,
+        m.params, m.opt_state, loss = step(m.params, m.opt_state, cnt,
                                            cam_d, gt_u8)
     jax.block_until_ready(m.params["xyz"])
     it_ms = (time.perf_counter() - t0) * 1e3 / args.train_iters
