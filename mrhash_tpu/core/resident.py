@@ -36,6 +36,29 @@ LANES = 512
 _FIELDS = ("sdf", "sumsq", "weight", "rgbp")
 
 
+def _tiered_churn(cfg: MapConfig, n_ent, E, churn_of, rp, pool):
+    """Dispatch the adoption churn at a capacity fitted to the entrant
+    count (same capacity-cost rule as pipeline._tiered_coarsen): the
+    flush/load row traffic costs O(E) whether or not anything enters, and
+    steady-state frames admit a handful of blocks (often zero).  Frames
+    with no entrants skip the churn entirely; trickles ride the
+    cfg.resident_churn_tier program; bursts take the full-E program.  All
+    branches compile once; exactly one runs."""
+    tier = min(int(cfg.resident_churn_tier), E)
+
+    def skip(rp, pool):
+        return rp, pool
+
+    if 0 < tier < E:
+        small, full = churn_of(tier), churn_of(E)
+
+        def dispatch(rp, pool):
+            return jax.lax.cond(n_ent <= tier, small, full, rp, pool)
+    else:
+        dispatch = churn_of(E)
+    return jax.lax.cond(n_ent > 0, dispatch, skip, rp, pool)
+
+
 def adopt_window(cfg: MapConfig, rp: ResidentPool, pool: VoxelPool,
                  slots, bpos, bptr, bres, bvalid):
     """Assign resident slots to the compacted window and reorder it to
@@ -60,42 +83,50 @@ def adopt_window(cfg: MapConfig, rp: ResidentPool, pool: VoxelPool,
         jnp.where(is_res, rs_old, R)].set(True, mode="drop")
     vac = ~claimed[:A]
     ent = bvalid & ~is_res
-    eidx, eok, _ = H.compact_indices(ent, E)           # window positions
-    vidx, vok, _ = H.compact_indices(vac, E)           # resident slots
-    pair = eok & vok
-    epos = jnp.where(pair, eidx, 0)                    # safe window index
-    vslot = jnp.where(pair, vidx, 0)                   # safe resident slot
-    vdrop = jnp.where(pair, vidx, R)                   # drop id for scatters
+    n_ent = jnp.sum(ent.astype(jnp.int32))
 
-    # 1) evict: flush previous tenants of the paired slots (if backed)
-    old_back = rp.backing[vslot]                       # i32[E]
-    flush_to = jnp.where(pair & (old_back >= 0), old_back, n_big)
-    pool = pool.replace(**{
-        f: getattr(pool, f).at[flush_to].set(
-            getattr(rp.pool, f)[vslot], mode="drop", unique_indices=True)
-        for f in _FIELDS})
+    def churn_of(e):
+        def churn(rp, pool):
+            eidx, eok, _ = H.compact_indices(ent, e)   # window positions
+            vidx, vok, _ = H.compact_indices(vac, e)   # resident slots
+            pair = eok & vok
+            epos = jnp.where(pair, eidx, 0)            # safe window index
+            vslot = jnp.where(pair, vidx, 0)           # safe resident slot
+            vdrop = jnp.where(pair, vidx, R)           # drop id for scatters
 
-    # 2) load entrants (new blocks' big rows are zero-cleared on free, so
-    #    fresh allocations load zeros — correct first-integration state)
-    erow = jnp.where(pair, wrow[epos], n_big)
-    rpool = rp.pool.replace(**{
-        f: getattr(rp.pool, f).at[vdrop].set(
-            getattr(pool, f)[jnp.where(pair, erow, 0)],
-            mode="drop", unique_indices=True)
-        for f in _FIELDS})
+            # 1) evict: flush previous tenants of paired slots (if backed)
+            old_back = rp.backing[vslot]               # i32[e]
+            flush_to = jnp.where(pair & (old_back >= 0), old_back, n_big)
+            pool = pool.replace(**{
+                f: getattr(pool, f).at[flush_to].set(
+                    getattr(rp.pool, f)[vslot], mode="drop",
+                    unique_indices=True)
+                for f in _FIELDS})
 
-    # 3) maps
-    backing = rp.backing.at[vdrop].set(erow, mode="drop")
-    res_index = rp.res_index.at[
-        jnp.where(pair & (old_back >= 0), old_back, n_big)].set(
-            -1, mode="drop")
-    res_index = res_index.at[erow].set(
-        jnp.where(pair, vidx, -1), mode="drop")
-    rp = rp.replace(pool=rpool, backing=backing, res_index=res_index)
+            # 2) load entrants (new blocks' big rows are zero-cleared on
+            #    free, so fresh allocations load zeros — correct
+            #    first-integration state)
+            erow = jnp.where(pair, wrow[epos], n_big)
+            rpool = rp.pool.replace(**{
+                f: getattr(rp.pool, f).at[vdrop].set(
+                    getattr(pool, f)[jnp.where(pair, erow, 0)],
+                    mode="drop", unique_indices=True)
+                for f in _FIELDS})
 
-    # final slot per window block (-1 = staggered past the churn cap)
-    rslot = jnp.where(is_res, rs_old, -1)
-    rslot = rslot.at[jnp.where(pair, epos, A)].set(vidx, mode="drop")
+            # 3) maps
+            backing = rp.backing.at[vdrop].set(erow, mode="drop")
+            res_index = rp.res_index.at[flush_to].set(-1, mode="drop")
+            res_index = res_index.at[erow].set(
+                jnp.where(pair, vidx, -1), mode="drop")
+            return rp.replace(pool=rpool, backing=backing,
+                              res_index=res_index), pool
+        return churn
+
+    rp, pool = _tiered_churn(cfg, n_ent, E, churn_of, rp, pool)
+
+    # final slot per window block (-1 = staggered past the churn cap),
+    # read off the post-churn residency map
+    rslot = jnp.where(bvalid, rp.res_index[wrow], -1)
     served = bvalid & (rslot >= 0)
 
     # reorder the window to resident-slot order
@@ -155,12 +186,8 @@ def adopt_window_rows(cfg: MapConfig, rp: ResidentPool, pool: VoxelPool,
         jnp.where(cand1, prow, n_big)].min(arange)
     lead1 = cand1 & (row_first[prow] == arange)
 
-    eidx0, eok0, tot0 = H.compact_indices(ent0, E)
-    vidx0, vok0, _ = H.compact_indices(~claimed[:A0], E)
-    pair0 = eok0 & vok0
-    eidx1, eok1, tot1 = H.compact_indices(lead1, E)
-    vidx1, vok1, _ = H.compact_indices(~claimed[A0:A], E)
-    pair1 = eok1 & vok1
+    tot0 = jnp.sum(ent0.astype(jnp.int32))
+    tot1 = jnp.sum(lead1.astype(jnp.int32))
 
     # region demand = already-claimed slots + rows still wanting in; the
     # geowrapper ladders resident_plain_rows / the bucket from these so a
@@ -168,38 +195,52 @@ def adopt_window_rows(cfg: MapConfig, rp: ResidentPool, pool: VoxelPool,
     p_demand = jnp.sum(claimed[:A0].astype(jnp.int32)) + tot0
     q_demand = jnp.sum(claimed[A0:A].astype(jnp.int32)) + tot1
 
-    pair = jnp.concatenate([pair0, pair1])
-    epos = jnp.concatenate([jnp.where(pair0, eidx0, 0),
-                            jnp.where(pair1, eidx1, 0)])
-    vslot = jnp.concatenate([jnp.where(pair0, vidx0, 0),
-                             jnp.where(pair1, vidx1 + A0, 0)])
-    vdrop = jnp.where(pair, vslot, R)
+    def churn_of(e):
+        def churn(rp, pool):
+            eidx0, eok0, _ = H.compact_indices(ent0, e)
+            vidx0, vok0, _ = H.compact_indices(~claimed[:A0], e)
+            pair0 = eok0 & vok0
+            eidx1, eok1, _ = H.compact_indices(lead1, e)
+            vidx1, vok1, _ = H.compact_indices(~claimed[A0:A], e)
+            pair1 = eok1 & vok1
 
-    # 1) evict: flush previous tenants of the paired slots (if backed)
-    old_back = rp.backing[vslot]
-    flush_to = jnp.where(pair & (old_back >= 0), old_back, n_big)
-    pool = pool.replace(**{
-        f: getattr(pool, f).at[flush_to].set(
-            getattr(rp.pool, f)[vslot], mode="drop", unique_indices=True)
-        for f in _FIELDS})
+            pair = jnp.concatenate([pair0, pair1])
+            epos = jnp.concatenate([jnp.where(pair0, eidx0, 0),
+                                    jnp.where(pair1, eidx1, 0)])
+            vslot = jnp.concatenate([jnp.where(pair0, vidx0, 0),
+                                     jnp.where(pair1, vidx1 + A0, 0)])
+            vdrop = jnp.where(pair, vslot, R)
 
-    # 2) load entrant rows (fresh rows are zero-cleared on free)
-    erow = jnp.where(pair, prow[epos], n_big)
-    rpool = rp.pool.replace(**{
-        f: getattr(rp.pool, f).at[vdrop].set(
-            getattr(pool, f)[jnp.where(pair, erow, 0)],
-            mode="drop", unique_indices=True)
-        for f in _FIELDS})
+            # 1) evict: flush previous tenants of paired slots (if backed)
+            old_back = rp.backing[vslot]
+            flush_to = jnp.where(pair & (old_back >= 0), old_back, n_big)
+            pool = pool.replace(**{
+                f: getattr(pool, f).at[flush_to].set(
+                    getattr(rp.pool, f)[vslot], mode="drop",
+                    unique_indices=True)
+                for f in _FIELDS})
 
-    # 3) maps
-    backing = rp.backing.at[vdrop].set(erow, mode="drop")
-    res_index = rp.res_index.at[flush_to].set(-1, mode="drop")
-    res_index = res_index.at[erow].set(
-        jnp.where(pair, vslot, -1), mode="drop")
-    rp = rp.replace(pool=rpool, backing=backing, res_index=res_index)
+            # 2) load entrant rows (fresh rows are zero-cleared on free)
+            erow = jnp.where(pair, prow[epos], n_big)
+            rpool = rp.pool.replace(**{
+                f: getattr(rp.pool, f).at[vdrop].set(
+                    getattr(pool, f)[jnp.where(pair, erow, 0)],
+                    mode="drop", unique_indices=True)
+                for f in _FIELDS})
+
+            # 3) maps
+            backing = rp.backing.at[vdrop].set(erow, mode="drop")
+            res_index = rp.res_index.at[flush_to].set(-1, mode="drop")
+            res_index = res_index.at[erow].set(
+                jnp.where(pair, vslot, -1), mode="drop")
+            return rp.replace(pool=rpool, backing=backing,
+                              res_index=res_index), pool
+        return churn
+
+    rp, pool = _tiered_churn(cfg, tot0 + tot1, E, churn_of, rp, pool)
 
     # per-entry slot map after adoption (-1 = staggered this frame)
-    eslot = jnp.where(bvalid, res_index[prow], -1)
+    eslot = jnp.where(bvalid, rp.res_index[prow], -1)
 
     # per-slot meta, rebuilt from the window each frame (so carve churn —
     # coarsen allocs, GC frees, frustum exits — needs no event tracking)

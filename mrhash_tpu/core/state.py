@@ -176,6 +176,14 @@ class MapConfig:
     max_alloc_per_frame: int = 1 << 14       # unique new blocks per frame
     dedup_scratch_factor: int = 16           # scratch cells per alloc slot
     alloc_rounds: int = 1                    # salted dedup+insert passes
+    alloc_miss_tier: int = 1 << 10           # presence-cache miss tier: when
+                                             # the candidates NOT proven
+                                             # present by the exact pcache
+                                             # fit, insert runs at this
+                                             # capacity instead of
+                                             # max_alloc_per_frame (skips the
+                                             # full-width probe lookup on
+                                             # steady-state frames). 0 = off.
     alloc_pixel_stride: int = 2              # stagger candidates over s^2 frames
     alloc_tile: int = 0                      # >1: per-tile min/max band alloc
     dda_extra_steps: int = 3
@@ -227,6 +235,14 @@ class MapConfig:
                                              # (adopt cost ~1 ms per 1k rows
                                              # paid even at zero churn, so keep
                                              # small; overflow staggers a frame)
+    resident_churn_tier: int = 1 << 7        # small-tier churn capacity: when
+                                             # the entrant count fits, the
+                                             # adoption flush/load runs at
+                                             # this capacity instead of
+                                             # resident_churn; zero-entrant
+                                             # frames skip the churn entirely
+                                             # (core/resident._tiered_churn).
+                                             # 0 = off.
     resident_plain_rows: int = 0             # multi-res resident: slots
                                              # [0, N) cache res-0 rows, slots
                                              # [N, A) cache carve rows (kind-

@@ -262,29 +262,45 @@ class Streamer:
         insert it into the chunk grid.  Runs while the NEXT device pass
         executes (the reference overlaps the same way with pinned-memory
         DMA + CUDA events, streamer.cpp:255-276)."""
+        import time
         pos, res, n, sdf, ssq, w, rgb = staged
         n = int(n)
         if n == 0:
             return
+        t0 = time.perf_counter()
         pos_h = np.asarray(pos[:n])
+        res_h = np.asarray(res[:n])
+        sdf_h = np.asarray(sdf[:n])
+        ssq_h = np.asarray(ssq[:n])
+        w_h = np.asarray(w[:n])
+        rgb_h = np.asarray(rgb[:n])
+        t1 = time.perf_counter()
         block_world = (pos_h.astype(np.float64)
                        * P.SDF_BLOCK_SIZE * self.cfg.virtual_voxel_size)
-        self.grid.add_blocks(block_world, pos_h,
-                             np.asarray(res[:n]), np.asarray(sdf[:n]),
-                             np.asarray(ssq[:n]), np.asarray(w[:n]),
-                             np.asarray(rgb[:n]))
+        self.grid.add_blocks(block_world, pos_h, res_h, sdf_h, ssq_h,
+                             w_h, rgb_h)
+        t2 = time.perf_counter()
+        self.out_stats["fetch_s"] += t1 - t0
+        self.out_stats["ingest_s"] += t2 - t1
+        self.out_stats["bytes"] += sum(
+            a.nbytes for a in (pos_h, res_h, sdf_h, ssq_h, w_h, rgb_h))
 
     def _stream_out_loop(self, state: MapState, cam_pos, radius, all_out):
         """Pipelined pass loop: dispatch device pass i+1, then do pass i's
         host work (device->host fetch + chunk insert) while it runs."""
+        import time
         cam_pos = jnp.asarray(cam_pos, jnp.float32)
         radius = jnp.float32(radius)
         all_out = jnp.asarray(all_out)
+        self.out_stats = dict(fetch_s=0.0, ingest_s=0.0, collect_s=0.0,
+                              bytes=0)
         pending = None
         while True:
+            t0 = time.perf_counter()
             table, pool, pos, res, n, sdf, ssq, w, rgb, n_rem = \
                 self._collect(state.table, state.pool, cam_pos, radius,
                               all_out)
+            self.out_stats["collect_s"] += time.perf_counter() - t0
             state = state.replace(table=table, pool=pool)
             if pending is not None:
                 self._ingest(pending)

@@ -33,12 +33,25 @@ from mrhash_tpu import params as P
 FREE = P.FREE_ENTRY
 
 
+PC_EMPTY = 0x7FFFFFFF  # presence-cache empty sentinel (never a block coord)
+PC_FACTOR = 8          # presence-cache cells per bucket: evicted-key misses
+#                        (~n^2/2Pc at occupancy n) must fit the caller's
+#                        alloc_miss_tier with headroom, or alloc falls back
+#                        to the full-width insert every frame
+
+
 @struct.dataclass
 class HashTable:
     pos: jax.Array        # int32[C,3]
     ptr: jax.Array        # int32[C]
     res: jax.Array        # int32[C]
     fp: jax.Array         # int32[C] key fingerprint, 0 = free slot
+    pck: jax.Array        # int32[Pc,3] presence cache: direct-mapped EXACT
+    #                       key copies (PC_EMPTY sentinel in x when empty).
+    #                       A cache hit proves presence with ONE 3-wide row
+    #                       gather instead of the NUM_PROBES-gather probe
+    #                       scan; misses (cell evicted by a colliding key,
+    #                       or genuinely absent) fall back to lookup().
     heap_high: jax.Array  # int32[N]
     heap_low: jax.Array   # int32[8N]
     high_count: jax.Array  # int32[] number of free high blocks
@@ -63,6 +76,7 @@ def make_table(num_blocks: int, num_buckets: int | None = None) -> HashTable:
         ptr=jnp.full((C,), FREE, jnp.int32),
         res=jnp.zeros((C,), jnp.int32),
         fp=jnp.zeros((C,), jnp.int32),
+        pck=jnp.full((PC_FACTOR * num_buckets, 3), PC_EMPTY, jnp.int32),
         heap_high=jnp.arange(num_blocks - 1, -1, -1, dtype=jnp.int32),
         heap_low=jnp.full((n_low,), n_low, jnp.int32),
         high_count=jnp.int32(num_blocks),
@@ -174,6 +188,36 @@ def lookup(table: HashTable, keys, valid=None, with_uncertain=False):
         uncertain = suspects & (rank >= _FALLBACK_K)
         return found, slot, ptr, res, uncertain
     return found, slot, ptr, res
+
+
+def _pc_cell(table: HashTable, block_pos):
+    """Presence-cache cell of a key: one more avalanche over the fingerprint
+    with a distinct constant (decorrelated from both the bucket hash and the
+    fp filter)."""
+    h = _avalanche(fingerprint(block_pos).astype(jnp.uint32)
+                   ^ jnp.uint32(0x27220A95))
+    return (h % jnp.uint32(table.pck.shape[0])).astype(jnp.int32)
+
+
+def pcache_probe(table: HashTable, keys, valid):
+    """EXACT presence test against the direct-mapped cache: True means the
+    key is certainly in the table (the cell stores full key copies, written
+    by insert and cleared by free, so a hit cannot be stale); False means
+    unknown — absent, or present but evicted from its cell by a colliding
+    key (expected ~n^2/2Pc keys at occupancy n) — resolve via lookup()."""
+    cell = _pc_cell(table, keys)
+    return valid & jnp.all(table.pck[cell] == keys, axis=-1)
+
+
+def rebuild_pcache(table: HashTable) -> HashTable:
+    """Repopulate the presence cache from the table's occupied entries (for
+    snapshots serialized without it).  Any state where every stored cell
+    holds a live key is valid — hits prove presence, evicted keys just miss."""
+    occ = table.ptr != FREE
+    cell = _pc_cell(table, table.pos)
+    pck = jnp.full_like(table.pck, PC_EMPTY).at[
+        jnp.where(occ, cell, table.pck.shape[0])].set(table.pos, mode="drop")
+    return table.replace(pck=pck)
 
 
 def fingerprint2(block_pos):
@@ -333,11 +377,15 @@ def insert(table: HashTable, keys, valid, res):
 
         # write entries for successful inserts only
         dest = jnp.where(new, assigned_slot, C)
+        # presence cache: last writer wins among colliding cells (evicted
+        # keys just lose their fast-path hit, pcache_probe falls back)
+        pdest = jnp.where(new, _pc_cell(table, keys), table.pck.shape[0])
         table = table.replace(
             pos=table.pos.at[dest].set(keys, mode="drop"),
             ptr=table.ptr.at[dest].set(new_ptr, mode="drop"),
             res=table.res.at[dest].set(res, mode="drop"),
             fp=table.fp.at[dest].set(fingerprint(keys), mode="drop"),
+            pck=table.pck.at[pdest].set(keys, mode="drop"),
             high_count=high_count, low_count=low_count)
         return table, assigned_slot, new_ptr, new
 
@@ -379,13 +427,21 @@ def free_slots(table: HashTable, slots, mask):
     hl, lc = _heap_push(table.heap_low, table.low_count,
                         ptrs // P.TOTAL_LOW_BLOCK_SIZE, is_low)
 
+    # presence cache: clear a cell only if it still holds the freed key
+    # (it may hold a colliding live key instead — leave that one alone)
+    pos_f = table.pos[slots_c]
+    cell = _pc_cell(table, pos_f)
+    owns = mask & jnp.all(table.pck[cell] == pos_f, axis=-1)
+    pck = table.pck.at[jnp.where(owns, cell, table.pck.shape[0])].set(
+        PC_EMPTY, mode="drop")
+
     dest = jnp.where(mask, slots, C)
     ptr_arr = table.ptr.at[dest].set(FREE, mode="drop")
     pos_arr = table.pos.at[dest].set(0, mode="drop")
     res_arr = table.res.at[dest].set(0, mode="drop")
     fp_arr = table.fp.at[dest].set(0, mode="drop")
     table = table.replace(pos=pos_arr, ptr=ptr_arr, res=res_arr, fp=fp_arr,
-                          heap_high=hh, heap_low=hl,
+                          pck=pck, heap_high=hh, heap_low=hl,
                           high_count=hc, low_count=lc)
     return table, ptrs, res, mask
 

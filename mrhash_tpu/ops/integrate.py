@@ -325,14 +325,44 @@ def alloc_blocks(cfg: MapConfig, table: H.HashTable, keys, valid, frame):
     The reference re-runs its alloc kernel in a fixed-point loop to resolve
     bucket-lock misses (RESOLVE_CONFLICT_ALLOCATIONS, :901-921); the analogue
     here is alloc_rounds dedup+insert passes with independent salts, which
-    drive the scratch-collision miss probability to ~(d/S)^rounds per key."""
-    zero_res = jnp.zeros((cfg.max_alloc_per_frame,), jnp.int32)
+    drive the scratch-collision miss probability to ~(d/S)^rounds per key.
+
+    Presence-cache tiering: in steady state nearly every deduped candidate
+    is already in the table, and insert()'s full probe lookup over them
+    (NUM_PROBES element gathers x max_alloc_per_frame, every frame) only
+    re-derives that fact.  pcache_probe proves presence EXACTLY with one
+    3-wide gather per key; the misses (cell-evicted present keys + genuinely
+    new ones) compact into a cfg.alloc_miss_tier-sized insert when they fit
+    (both tier programs compile once; exactly one runs — growth frames take
+    the full-width path).  Alloc results are bit-identical either way:
+    compaction preserves key order, so pending ranks, probe claims, and
+    heap-draw order match the full-width insert."""
+    U = cfg.max_alloc_per_frame
+    k_tier = min(int(cfg.alloc_miss_tier), U)
+    zero_res = jnp.zeros((U,), jnp.int32)
     for i in range(cfg.alloc_rounds):
         ukeys, uvalid = dedup_candidates(
             keys, valid, frame * cfg.alloc_rounds + i,
-            cfg.max_alloc_per_frame * cfg.dedup_scratch_factor,
-            cfg.max_alloc_per_frame)
-        table, _ = H.insert(table, ukeys, uvalid, zero_res)
+            U * cfg.dedup_scratch_factor, U)
+        if k_tier <= 0 or k_tier >= U:
+            table, _ = H.insert(table, ukeys, uvalid, zero_res)
+            continue
+        hit = H.pcache_probe(table, ukeys, uvalid)
+        miss = uvalid & ~hit
+        n_miss = jnp.sum(miss.astype(jnp.int32))
+
+        def small(table, ukeys=ukeys, miss=miss):
+            sel, ok, _ = H.compact_indices(miss, k_tier)
+            mkeys = jnp.where(ok[:, None], ukeys[jnp.where(ok, sel, 0)], 0)
+            t2, _ = H.insert(table, mkeys, ok,
+                             jnp.zeros((k_tier,), jnp.int32))
+            return t2
+
+        def full(table, ukeys=ukeys, uvalid=uvalid):
+            t2, _ = H.insert(table, ukeys, uvalid, zero_res)
+            return t2
+
+        table = jax.lax.cond(n_miss <= k_tier, small, full, table)
     return table
 
 
@@ -1725,21 +1755,26 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     # without a coarse replacement)
     if u is None:
         u = cfg.max_coarsen_per_frame
-    rank = jnp.cumsum(decide.astype(jnp.int32)) - 1
-    served = decide & (rank < u)
+    A = decide.shape[0]
 
-    # free the served fine blocks; clear over a u-compacted view so the
-    # whole-row clear scatters carry O(u*512) sources, not O(A*512)
-    table, ptrs, fres, freed = H.free_slots(table, slots, served)
-    sel, selok, _ = H.compact_indices(freed, u)
+    # compact the served indices FIRST so free_slots and the row clears run
+    # on u-sized views: a scatter's cost scales with its SOURCE length
+    # (DESIGN.md rule), and free_slots over the full window carried O(A)
+    # heap-push + table-clear sources per fire — a per-frame tax at the
+    # steady-state trickle (the chain fires nearly every travel frame)
+    sel, selok, _ = H.compact_indices(decide, u)
     safe_sel = jnp.where(selok, sel, 0)
-    pool = _clear_blocks(pool, jnp.where(selok, ptrs[safe_sel], 0),
-                         jnp.where(selok, fres[safe_sel], 0), selok)
+    table, ptrs_u, fres_u, freed_u = H.free_slots(table, slots[safe_sel],
+                                                  selok)
+    pool = _clear_blocks(pool, ptrs_u, fres_u, freed_u)
 
-    # queue re-allocation at res+1 (freed implies rank < u)
-    dest = jnp.where(freed, rank, u)
-    rkeys = jnp.zeros((u, 3), jnp.int32).at[dest].set(bpos, mode="drop")
-    rvalid = jnp.zeros((u,), bool).at[dest].set(True, mode="drop")
+    # queue re-allocation at res+1 (compaction preserves window order)
+    rkeys = jnp.where(freed_u[:, None], bpos[safe_sel], 0)
+    rvalid = freed_u
+
+    # full-window freed mask for the caller's same-frame exclusions
+    freed = jnp.zeros((A,), bool).at[
+        jnp.where(selok, sel, A)].set(freed_u, mode="drop")
 
     # refill low heap if short (allocateMemoryLow)
     need = jnp.sum(rvalid.astype(jnp.int32))

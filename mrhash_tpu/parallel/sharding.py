@@ -76,6 +76,7 @@ def make_sharded_state(cfg: MapConfig, mesh: Mesh) -> MapState:
     table = state.table.replace(
         pos=rep(local.table.pos), ptr=rep(local.table.ptr),
         res=rep(local.table.res), fp=rep(local.table.fp),
+        pck=rep(local.table.pck),
         heap_high=rep(local.table.heap_high),
         heap_low=rep(local.table.heap_low),
         high_count=jnp.full((n,), local.table.high_count, jnp.int32),
@@ -95,8 +96,8 @@ def _fill_like(state: MapState, shard, repl) -> MapState:
     the frame counter (static aux fields copied from `state` so the treedefs
     match)."""
     table = state.table.replace(
-        pos=shard, ptr=shard, res=shard, fp=shard, heap_high=shard,
-        heap_low=shard, high_count=shard, low_count=shard)
+        pos=shard, ptr=shard, res=shard, fp=shard, pck=shard,
+        heap_high=shard, heap_low=shard, high_count=shard, low_count=shard)
     pool = state.pool.replace(sdf=shard, sumsq=shard, weight=shard,
                               rgbp=shard)
     return MapState(table=table, pool=pool, frame=repl)
@@ -215,7 +216,8 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
     gn = lcfg.num_blocks * n
     s = PSpec(AXIS)
     specs = MapState(
-        table=H.HashTable(pos=s, ptr=s, res=s, fp=s, heap_high=s, heap_low=s,
+        table=H.HashTable(pos=s, ptr=s, res=s, fp=s, pck=s,
+                          heap_high=s, heap_low=s,
                           high_count=s, low_count=s, num_buckets=gn,
                           num_blocks=gn),
         pool=VoxelPool(sdf=s, sumsq=s, weight=s, rgbp=s), frame=PSpec())
@@ -351,7 +353,8 @@ def sharded_integrate_points(cfg: MapConfig, mesh: Mesh):
     gn = lcfg.num_blocks * n
     s = PSpec(AXIS)
     specs = MapState(
-        table=H.HashTable(pos=s, ptr=s, res=s, fp=s, heap_high=s, heap_low=s,
+        table=H.HashTable(pos=s, ptr=s, res=s, fp=s, pck=s,
+                          heap_high=s, heap_low=s,
                           high_count=s, low_count=s, num_buckets=gn,
                           num_blocks=gn),
         pool=VoxelPool(sdf=s, sumsq=s, weight=s, rgbp=s), frame=PSpec())

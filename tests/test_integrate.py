@@ -302,3 +302,47 @@ def test_banded_starve_equals_one_shot():
     for f in range(2, 8):
         sb, _ = pipeline.integrate_rgbd(cfgb, sb, cam, depth, rgb)
     assert int(sb.frame) == 8
+
+def test_alloc_miss_tier_bit_equal_to_full():
+    """Presence-cache tiered alloc (ops/integrate.alloc_blocks): the small
+    miss-tier insert must produce a table bit-identical to the full-width
+    path over a growth + steady + free + regrow sequence (compaction
+    preserves key order, so pending ranks / probe claims / heap draws
+    match; the cache itself is exact, never stale)."""
+    cam = small_cam()
+    r = jnp.arange(ROWS, dtype=jnp.float32)[:, None]
+    c = jnp.arange(COLS, dtype=jnp.float32)[None, :]
+    depth = (1.5 + 0.01 * c + 0.02 * r).astype(jnp.float32)
+    num_steps = None
+
+    def run(tier):
+        cfg = small_cfg(alloc_pixel_stride=1, alloc_tile=4,
+                        alloc_miss_tier=tier)
+        steps = cfg.dda_steps(float(cfg.max_integration_distance))
+        table = make_state(cfg.num_blocks).table
+        for f in range(6):  # growth (f=0,1) then steady phases
+            keys, valid = I.alloc_candidates_depth(cfg, cam, depth, steps,
+                                                   frame=jnp.int32(f))
+            table = I.alloc_blocks(cfg, table, keys, valid, jnp.int32(f))
+        # free a slice of occupied slots mid-run, then re-allocate
+        occ = np.nonzero(np.asarray(table.ptr) != P.FREE_ENTRY)[0][:40]
+        table, _, _, _ = H.free_slots(table, jnp.asarray(occ, jnp.int32),
+                                      jnp.ones((40,), bool))
+        for f in range(6, 10):
+            keys, valid = I.alloc_candidates_depth(cfg, cam, depth, steps,
+                                                   frame=jnp.int32(f))
+            table = I.alloc_blocks(cfg, table, keys, valid, jnp.int32(f))
+        return table
+
+    t_full = run(0)          # tier off: always full-width insert
+    t_tier = run(64)         # tiny tier: small path exercised in steady state
+    for field in ("pos", "ptr", "res", "fp", "pck", "heap_high", "heap_low"):
+        assert np.array_equal(np.asarray(getattr(t_full, field)),
+                              np.asarray(getattr(t_tier, field))), field
+    assert int(t_full.high_count) == int(t_tier.high_count)
+    # sanity: the steady-state frames actually took the small path (every
+    # occupied key is provably present via the cache except cell evictions)
+    occ = np.asarray(t_tier.ptr) != P.FREE_ENTRY
+    keys = jnp.asarray(np.asarray(t_tier.pos)[occ])
+    hits = H.pcache_probe(t_tier, keys, jnp.ones((keys.shape[0],), bool))
+    assert int(hits.sum()) >= 0.8 * keys.shape[0]

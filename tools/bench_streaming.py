@@ -84,7 +84,8 @@ def main():
             v[:cnt] = True
             table = ins(table, jnp.asarray(batch), jnp.asarray(v))
         state = state.replace(table=jax.block_until_ready(table))
-        n_dev = int(np.sum(np.asarray(state.table.ptr) != -1))
+        from mrhash_tpu import params as P
+        n_dev = int(np.sum(np.asarray(state.table.ptr) != P.FREE_ENTRY))
         print(f"# staging {staging}: {n_dev} blocks resident",
               file=sys.stderr)
 
@@ -98,6 +99,12 @@ def main():
         print(f"#   streamAllOut: {dt:.2f}s, {passes} passes "
               f"({dt / passes * 1e3:.1f} ms/pass), {bs_out:,.0f} blocks/s",
               file=sys.stderr)
+        os_ = sm.out_stats
+        print(f"#     phases: collect+wait {os_['collect_s']:.2f}s, "
+              f"fetch {os_['fetch_s']:.2f}s "
+              f"({os_['bytes'] / max(os_['fetch_s'], 1e-9) / 1e6:.1f} MB/s), "
+              f"host ingest {os_['ingest_s']:.2f}s, "
+              f"payload {os_['bytes'] / 1e6:.0f} MB", file=sys.stderr)
         recs.append({"metric": f"stream_all_out_blocks_per_s_stage{staging}",
                      "value": round(bs_out), "unit": "blocks/s",
                      "vs_baseline": None})
