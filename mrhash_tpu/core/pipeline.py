@@ -56,10 +56,19 @@ def _tiered_coarsen(cfg: MapConfig, frame, decide, chain_of_u, skip, *args):
     return jax.lax.cond((frame > 0) & (n_dec > 0), dispatch, skip, *args)
 
 
+def _starve_k(cfg: MapConfig) -> int:
+    """Effective starve band count: clamped to n_frames_invalidate_voxels —
+    the band index is frame % n, so bands >= n would never fire and the
+    image rows they cover would never starve (round-3 ADVICE low #2)."""
+    k = int(cfg.starve_bands)
+    n = int(cfg.n_frames_invalidate_voxels)
+    return max(1, min(k, n)) if n > 0 else k
+
+
 def _starve_band_cap(cfg: MapConfig, A: int) -> int:
     if cfg.starve_band_cap:
         return min(int(cfg.starve_band_cap), A)
-    k = int(cfg.starve_bands)
+    k = _starve_k(cfg)
     return min(A, max(1024, -(-3 * A // k // 512) * 512))
 
 
@@ -68,7 +77,7 @@ def _starve_fire(cfg: MapConfig, frame):
     frames after each n_frames_invalidate_voxels boundary (band = offset);
     the classic one-shot event is bands == 1."""
     n = cfg.n_frames_invalidate_voxels
-    k = int(cfg.starve_bands)
+    k = _starve_k(cfg)
     if k <= 1:
         return (frame > 0) & (frame % n == 0), jnp.int32(0)
     return (frame >= n) & (frame % n < k), (frame % n).astype(jnp.int32)
@@ -119,19 +128,33 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
         rptr = jnp.arange(A, dtype=jnp.int32) * 512
         if cfg.n_frames_invalidate_voxels > 0:
             fire, band = _starve_fire(cfg, state.frame)
-            if int(cfg.starve_bands) > 1:
-                k = int(cfg.starve_bands)
+            if _starve_k(cfg) > 1:
+                k = _starve_k(cfg)
                 cap = _starve_band_cap(cfg, A)
 
                 def do_band(p):
-                    sel, selok, lo, hi = I.starve_band_select(
+                    sel, selok, lo, hi, n_tot = I.starve_band_select(
                         cfg, cam, bpos, bvalid, band, k, cap)
-                    s = jnp.where(selok, sel, 0)
-                    bv = selok & bvalid[s]
-                    starved = I.starve_mask(cfg, cam, bpos[s], rptr[s],
-                                            bres[s], bv, row_band=(lo, hi))
-                    return I.apply_starve(cfg, p, rptr[s], bres[s], bv,
-                                          starved)
+
+                    def banded(p):
+                        s = jnp.where(selok, sel, 0)
+                        bv = selok & bvalid[s]
+                        starved = I.starve_mask(
+                            cfg, cam, bpos[s], rptr[s], bres[s], bv,
+                            row_band=(lo, hi))
+                        return I.apply_starve(cfg, p, rptr[s], bres[s], bv,
+                                              starved)
+
+                    def full_window(p):
+                        # band overflowed the compacted window: dropped
+                        # blocks would vanish from the z-buffer and corrupt
+                        # winner tests — run the band on the full window
+                        starved = I.starve_mask(cfg, cam, bpos, rptr, bres,
+                                                bvalid, row_band=(lo, hi))
+                        return I.apply_starve(cfg, p, rptr, bres, bvalid,
+                                              starved)
+
+                    return jax.lax.cond(n_tot <= cap, banded, full_window, p)
 
                 rpool = jax.lax.cond(fire, do_band, lambda p: p, rpool)
             else:
@@ -202,19 +225,29 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
     # --- garbage collection -------------------------------------------------
     if cfg.n_frames_invalidate_voxels > 0:
         fire, band = _starve_fire(cfg, state.frame)
-        if int(cfg.starve_bands) > 1:
-            k = int(cfg.starve_bands)
+        if _starve_k(cfg) > 1:
+            k = _starve_k(cfg)
             cap = _starve_band_cap(cfg, bptr.shape[0])
 
             def do_band(pool):
-                sel, selok, lo, hi = I.starve_band_select(
+                sel, selok, lo, hi, n_tot = I.starve_band_select(
                     cfg, cam, bpos, bvalid, band, k, cap)
-                s = jnp.where(selok, sel, 0)
-                bv = selok & bvalid[s]
-                starved = I.starve_mask(cfg, cam, bpos[s], bptr[s], bres[s],
-                                        bv, row_band=(lo, hi))
-                return I.apply_starve(cfg, pool, bptr[s], bres[s], bv,
-                                      starved)
+
+                def banded(pool):
+                    s = jnp.where(selok, sel, 0)
+                    bv = selok & bvalid[s]
+                    starved = I.starve_mask(cfg, cam, bpos[s], bptr[s],
+                                            bres[s], bv, row_band=(lo, hi))
+                    return I.apply_starve(cfg, pool, bptr[s], bres[s], bv,
+                                          starved)
+
+                def full_window(pool):
+                    starved = I.starve_mask(cfg, cam, bpos, bptr, bres,
+                                            bvalid, row_band=(lo, hi))
+                    return I.apply_starve(cfg, pool, bptr, bres, bvalid,
+                                          starved)
+
+                return jax.lax.cond(n_tot <= cap, banded, full_window, pool)
 
             pool = jax.lax.cond(fire, do_band, lambda p: p, pool)
         else:
@@ -310,22 +343,36 @@ def _integrate_rgbd_resident_multires(cfg: MapConfig, state: MapState,
         rem = bvalid & (eslot_now < 0)
 
         fire, band = _starve_fire(cfg, frame)
-        if int(cfg.starve_bands) > 1:
-            k = int(cfg.starve_bands)
+        if _starve_k(cfg) > 1:
+            k = _starve_k(cfg)
             cap = _starve_band_cap(cfg, bptr.shape[0])
 
             def do_band(pool, rpool):
-                sel, selok, lo, hi = I.starve_band_select(
+                sel, selok, lo, hi, n_tot = I.starve_band_select(
                     cfg, cam, bpos, bvalid, band, k, cap)
-                s = jnp.where(selok, sel, 0)
-                bv = selok & bvalid[s]
-                starved = I.starve_mask(cfg, cam, bpos[s], bptr[s], bres[s],
-                                        bv, row_band=(lo, hi))
-                rpool = I.apply_starve(cfg, rpool, rptr_now[s], bres[s],
-                                       bv & (eslot_now[s] >= 0), starved)
-                pool = I.apply_starve(cfg, pool, bptr[s], bres[s],
-                                      bv & (eslot_now[s] < 0), starved)
-                return pool, rpool
+
+                def banded(pool, rpool):
+                    s = jnp.where(selok, sel, 0)
+                    bv = selok & bvalid[s]
+                    starved = I.starve_mask(cfg, cam, bpos[s], bptr[s],
+                                            bres[s], bv, row_band=(lo, hi))
+                    rpool = I.apply_starve(cfg, rpool, rptr_now[s], bres[s],
+                                           bv & (eslot_now[s] >= 0), starved)
+                    pool = I.apply_starve(cfg, pool, bptr[s], bres[s],
+                                          bv & (eslot_now[s] < 0), starved)
+                    return pool, rpool
+
+                def full_window(pool, rpool):
+                    starved = I.starve_mask(cfg, cam, bpos, bptr, bres,
+                                            bvalid, row_band=(lo, hi))
+                    rpool = I.apply_starve(cfg, rpool, rptr_now, bres,
+                                           svalid_res, starved)
+                    pool = I.apply_starve(cfg, pool, bptr, bres, rem,
+                                          starved)
+                    return pool, rpool
+
+                return jax.lax.cond(n_tot <= cap, banded, full_window,
+                                    pool, rpool)
 
             pool, rpool = jax.lax.cond(fire, do_band, lambda p, q: (p, q),
                                        pool, rp.pool)

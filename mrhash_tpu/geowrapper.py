@@ -494,15 +494,23 @@ class GeoWrapper:
         return jax.jit(fn)
 
     def _extract_resident(self, max_cells=1 << 16, max_triangles=1 << 18,
-                          state=None, chunk=1 << 13):
+                          state=None, chunk=1 << 13, owned=None):
         """MeshExtractor::extractMesh on all resident blocks, swept in
         window chunks: the cell gate probes 8 corner lookups per voxel, so
         one pass over a 2^17 window would materialize [A*512, probes]
         buffers (32 GB at Replica settings).  Blocks compact to the front,
-        so the sweep early-exits past the occupied count."""
+        so the sweep early-exits past the occupied count.
+
+        owned: optional bool[capacity] device mask of table slots to
+        extract (context blocks inserted only for boundary-corner reads
+        stay un-meshed — the batch sweep extracts each block exactly
+        once)."""
         state = self.state if state is None else state
         slots, count, bpos, bptr, bres, bvalid = I.compact_active(
             self.cfg, state.table)
+        if owned is not None:
+            ok = slots >= 0
+            bvalid = bvalid & ok & owned[jnp.where(ok, slots, 0)]
         count = int(count)
         pos_parts, col_parts = [], []
         A = bpos.shape[0]
@@ -560,27 +568,76 @@ class GeoWrapper:
         return getattr(self, "viewer_mesh",
                        mesh_post.MeshAccumulator())
 
+    @functools.lru_cache(maxsize=1)
+    def _jit_clear_map(self):
+        from mrhash_tpu.ops import hashtable as HT
+
+        def fn(table, pool):
+            return (HT.make_table(table.num_blocks, table.num_buckets),
+                    jax.tree.map(jnp.zeros_like, pool))
+
+        return jax.jit(fn, donate_argnums=(0, 1))
+
     def extractMesh(self, filename: str):
-        """Chunk-sweep mesh extraction + ASCII PLY
-        (geowrapper.cpp:150-230)."""
+        """Batch-sweep mesh extraction + ASCII PLY (reference protocol:
+        geowrapper.cpp:150-230 chunk-cube sweep with streamInToGPU /
+        streamAllOut around each cube).
+
+        TPU-native redesign: meshing only READS the map, so instead of
+        re-evicting every payload through the device->host staging path
+        after each cube (the round-3 path spent 723 s at Replica scale),
+        batches of occupied chunks are inserted READ-ONLY (the host grid
+        keeps ownership), extracted with an ownership mask (each block
+        meshes exactly once; 1-ring context chunks serve only the
+        boundary-corner reads), and the device map is wiped by one donated
+        clear program between batches."""
         self._drop_resident()
         self.state = self.streamer.stream_all_out(self.state)
         self.mesh.reset()
-        radius = P.RADIUS_SCALE_CHUNK * self.camera.max_depth
-        radius_i = max(int(radius), 1)
-        min_g, max_g = self.streamer.grid.compute_bounds()
-        max_g = np.maximum(max_g, min_g + 1)
-
-        for x in range(int(min_g[0]), int(max_g[0]), radius_i):
-            for y in range(int(min_g[1]), int(max_g[1]), radius_i):
-                for z in range(int(min_g[2]), int(max_g[2]), radius_i):
-                    center = self.streamer.grid.chunk_to_world((x, y, z))
-                    self.state = self.streamer.stream_in(self.state, center,
-                                                         radius)
-                    tri_pos, tri_col = self._extract_resident()
-                    if tri_pos.shape[0] > 0:
-                        self.mesh.add_triangles(tri_pos, tri_col)
-                    self.state = self.streamer.stream_all_out(self.state)
+        grid = self.streamer.grid
+        if grid.chunks:
+            sizes = {k: g["pos"].shape[0] for k, g in grid.chunks.items()}
+            budget = min(self.cfg.max_active_blocks,
+                         int(self.cfg.num_blocks * 0.9))
+            order = sorted(sizes)
+            i = 0
+            while i < len(order):
+                batch, loaded, total = set(), set(), 0
+                while i < len(order):
+                    key = order[i]
+                    need = {(key[0] + dx, key[1] + dy, key[2] + dz)
+                            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                            for dz in (-1, 0, 1)}
+                    need = {c for c in need if c in sizes} - loaded
+                    nb = sum(sizes[c] for c in need)
+                    if batch and total + nb > budget:
+                        break
+                    batch.add(key)
+                    loaded |= need
+                    total += nb
+                    i += 1
+                groups, owned_parts = [], []
+                for c in sorted(loaded):
+                    g = grid.chunks[c]
+                    groups.append(g)
+                    owned_parts.append(
+                        np.full(g["pos"].shape[0], c in batch))
+                blocks = {k: np.concatenate([g[k] for g in groups])
+                          for k in groups[0]}
+                owned = np.concatenate(owned_parts)
+                state, owned_mask, dropped = self.streamer.insert_readonly(
+                    self.state, blocks, owned)
+                if dropped:
+                    print(f"GeoWrapper::extractMesh | {dropped} blocks did "
+                          "not fit the device hash this batch; their cells "
+                          "are missing from the mesh (raise num_blocks)")
+                tri_pos, tri_col = self._extract_resident(
+                    state=state, owned=jnp.asarray(owned_mask))
+                if tri_pos.shape[0] > 0:
+                    self.mesh.add_triangles(tri_pos, tri_col)
+                t, p = self._jit_clear_map()(state.table, state.pool)
+                self.state = state.replace(table=t, pool=p)
+            self._high_free = self.cfg.num_blocks
 
         plyio.write_mesh_ply(filename, self.mesh.vertices, self.mesh.faces,
                              self.mesh.colors)

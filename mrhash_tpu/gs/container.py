@@ -93,6 +93,7 @@ class GaussianContainer:
         self._rng = np.random.default_rng(0)
         self._check_nodes_jit = {}
         self._train_jit = {}
+        self._scan_jit = {}
         self._qtree_jit = {}
         self._seed_jit = {}
         self._rem_mask_jit = jax.jit(_remainder_mask)
@@ -137,6 +138,62 @@ class GaussianContainer:
 
             self._train_jit[(H, W)] = step
         return self._train_jit[(H, W)]
+
+    def _train_scan_fn(self, H, W, n):
+        """n sequential Adam iterations fused into ONE dispatch via
+        lax.scan — bit-identical to n calls of _train_step_fn (scan is
+        sequential), but the online frame pays one ~6 ms axon dispatch
+        instead of n (the round-3 185 ms frame spent ~1/3 of itself on
+        per-step dispatch + device-scalar plumbing).  Takes a tuple of n
+        (cam_d, gt_u8) view pairs; views are stacked at trace time."""
+        key = (H, W, n)
+        if key not in self._scan_jit:
+            tx = self.model.tx
+            sh_degree = self.p.sh_degree
+            bg = self.model.background
+
+            def loss_fn(params, count, cam_d, gt):
+                active = jnp.arange(params["xyz"].shape[0]) < count
+                img, _ = render(params, active, dict(cam_d, W=W, H=H), bg,
+                                sh_degree)
+                return losses.l1_loss(img, gt)
+
+            @jax.jit
+            def steps(params, opt_state, count, views):
+                cams = [{k: v for k, v in c.items() if k not in ("W", "H")}
+                        for c, _ in views]
+                xs = (jax.tree.map(lambda *a: jnp.stack(a), *cams)
+                      if n > 1 else
+                      jax.tree.map(lambda a: a[None], cams[0]))
+                gts = jnp.stack([g for _, g in views])
+
+                def body(carry, x):
+                    params, opt_state = carry
+                    cam_d, gt_u8 = x
+                    gt = gt_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        params, count, cam_d, gt)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = jax.tree.map(lambda p, u: p + u, params,
+                                          updates)
+                    return (params, opt_state), loss
+
+                (params, opt_state), ls = jax.lax.scan(
+                    body, (params, opt_state), (xs, gts))
+                return params, opt_state, ls[-1]
+
+            self._scan_jit[key] = steps
+        return self._scan_jit[key]
+
+    def _run_steps(self, count_dev, views):
+        """Run one fused multi-view/multi-iter train dispatch."""
+        if not views:
+            return
+        m = self.model
+        H, W = views[0][1].shape[:2]
+        steps = self._train_scan_fn(H, W, len(views))
+        m.params, m.opt_state, self.last_loss = steps(
+            m.params, m.opt_state, count_dev, tuple(views))
 
     # ------------------------------------------------------------------ frame
     def run_gs(self, cfg, cam: C.Camera, state, rgb_img_np, depth_img_np):
@@ -190,11 +247,8 @@ class GaussianContainer:
             count_dev = m.insert_fast(centers, colors, scales, ok, pad)
             n_valid = None
 
-        step = self._train_step_fn(cam.rows, cam.cols)
         common = min(self.p.kf_iters, self.p.non_kf_iters)
-        for _ in range(common):
-            m.params, m.opt_state, loss = step(m.params, m.opt_state,
-                                               count_dev, cam_d, rgb)
+        self._run_steps(count_dev, [(cam_d, rgb)] * common)
 
         if n_valid is None:
             n_valid = int(nv)    # round trip overlapped with the steps
@@ -219,15 +273,12 @@ class GaussianContainer:
 
         extra = (self.p.kf_iters if is_keyframe
                  else self.p.non_kf_iters) - common
-        for _ in range(extra):
-            m.params, m.opt_state, loss = step(m.params, m.opt_state,
-                                               count_dev, cam_d, rgb)
+        views = [(cam_d, rgb)] * extra
         if not is_keyframe and self.keyframes:
             k = min(self.p.random_kf_num, len(self.keyframes))
-            for i in self._rng.permutation(len(self.keyframes))[:k]:
-                kf_cam, kf_gt = self.keyframes[i]
-                m.params, m.opt_state, loss = step(m.params, m.opt_state,
-                                                   count_dev, kf_cam, kf_gt)
+            views += [self.keyframes[i]
+                      for i in self._rng.permutation(len(self.keyframes))[:k]]
+        self._run_steps(count_dev, views)
 
     # ------------------------------------------------------------------ final
     def optimize_final(self):
@@ -250,20 +301,35 @@ class GaussianContainer:
                     + lam * (1.0 - losses.ssim(img, gt)))
 
         @jax.jit
-        def step(params, opt_state, count, cam_d, gt_u8):
-            cam_d = {k: v for k, v in cam_d.items() if k not in ("W", "H")}
-            gt = gt_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
-            loss, grads = jax.value_and_grad(loss_fn)(params, count, cam_d,
-                                                      gt)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return jax.tree.map(lambda p, u: p + u, params, updates), \
-                opt_state, loss
+        def sweep(params, opt_state, count, views):
+            cams = [{k: v for k, v in c.items() if k not in ("W", "H")}
+                    for c, _ in views]
+            if len(views) > 1:
+                xs = jax.tree.map(lambda *a: jnp.stack(a), *cams)
+            else:
+                xs = jax.tree.map(lambda a: a[None], cams[0])
+            gts = jnp.stack([g for _, g in views])
+
+            def body(carry, x):
+                params, opt_state = carry
+                cam_d, gt_u8 = x
+                gt = gt_u8.astype(jnp.float32).transpose(2, 0, 1) / 255.0
+                loss, grads = jax.value_and_grad(loss_fn)(params, count,
+                                                          cam_d, gt)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (jax.tree.map(lambda p, u: p + u, params, updates),
+                        opt_state), loss
+
+            (params, opt_state), ls = jax.lax.scan(body, (params, opt_state),
+                                                   (xs, gts))
+            return params, opt_state, ls
 
         m = self.model
+        cnt = jnp.int32(m.count)
         for _ in range(self.p.global_iters):
-            for cam_d, gt in self.keyframes:
-                m.params, m.opt_state, _ = step(m.params, m.opt_state,
-                                                m.count, cam_d, gt)
+            # one dispatch per global pass: all keyframes ride a lax.scan
+            m.params, m.opt_state, _ = sweep(m.params, m.opt_state, cnt,
+                                             tuple(self.keyframes))
 
     def render_view(self, cam: C.Camera):
         active = self.model.active_mask

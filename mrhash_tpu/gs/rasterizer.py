@@ -379,9 +379,13 @@ def render(params, active, cam, bg_color, sh_degree, max_per_tile=128,
          (tile_y0[:, None] + pin[None, :] // BLOCK).astype(jnp.float32)], -1)
 
     if blend_impl == "auto":
-        # axon registers the TPU platform under its own name — anything
-        # non-cpu is the real chip (same convention as core.pipeline)
-        blend_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        # the Mosaic kernels only lower for TPU; axon registers the TPU
+        # platform under its own name, so accept both and fall back to the
+        # XLA scan on cpu/gpu/any other backend (round-3 ADVICE low #3)
+        backend = jax.default_backend()
+        is_tpu = "tpu" in backend or backend == "axon" or any(
+            d.platform == "tpu" for d in jax.devices())
+        blend_impl = "pallas" if is_tpu else "xla"
     if blend_impl.startswith("pallas"):
         from mrhash_tpu.gs import blend_pallas as BP
         Tfin, Cfin = BP.blend_tiles(blend_impl == "pallas_interpret",

@@ -1487,9 +1487,12 @@ def starve_band_select(cfg: MapConfig, cam: C.Camera, bpos, bvalid,
     convex hull of its 8 projected corners, so the corner row min/max
     bound every voxel's row.  Blocks with any corner at or behind the
     near plane are conservatively included in every band.  Returns
-    (sel[cap], selok[cap], band_lo, band_hi) — compacted window indices;
-    overflow beyond cap staggers (those blocks skip starvation this
-    cycle, like every other capacity cap)."""
+    (sel[cap], selok[cap], band_lo, band_hi, n_total) — compacted window
+    indices plus the TOTAL hit count.  Overflow (n_total > cap) must NOT
+    be treated as a benign stagger: dropped blocks also vanish from the
+    band's z-buffer, so occluded voxels behind them would become false
+    per-pixel winners and starve.  Callers lax.cond on n_total <= cap and
+    fall back to the full-window starve for the band otherwise."""
     vvs = cfg.virtual_voxel_size
     ext = jnp.asarray(
         [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
@@ -1509,8 +1512,8 @@ def starve_band_select(cfg: MapConfig, cam: C.Camera, bpos, bvalid,
     lo = band * (H_ // n_bands)
     hi = jnp.where(band == n_bands - 1, H_, (band + 1) * (H_ // n_bands))
     hit = bvalid & (any_bad | ((rmin <= hi - 1) & (rmax >= lo)))
-    sel, selok, _ = H.compact_indices(hit, cap)
-    return sel, selok, lo, hi
+    sel, selok, n_total = H.compact_indices(hit, cap)
+    return sel, selok, lo, hi, n_total
 
 
 def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid,

@@ -248,6 +248,83 @@ def sharded_integrate_rgbd(cfg: MapConfig, mesh: Mesh):
     return step
 
 
+def snapshot_to_grid(cfg: MapConfig, mesh: Mesh, state: MapState,
+                     grid=None, staging: int = 4096):
+    """Gather every occupied block of a SHARDED map into a host ChunkGrid
+    (the sharded half of extractMesh / serializeGrid, mirroring the
+    reference's streamAllOut protocol, streamer.cpp:249-281).
+
+    Each shard is an independent sub-map (key-ownership partitioning), so
+    the single-chip plan/pack eviction programs run per addressable shard
+    on its own device — no collective needed.  The collection is READ-ONLY:
+    the planned table is discarded, so `state` stays valid for further
+    frames.  Returns the ChunkGrid."""
+    import numpy as np
+
+    from mrhash_tpu.core import streaming as S
+
+    n = mesh.shape[AXIS]
+    lcfg = local_config(cfg, n)
+    if grid is None:
+        grid = S.ChunkGrid(np.asarray(cfg.voxel_extents, np.float32))
+    staging = min(staging, lcfg.num_blocks)
+    plan = jax.jit(functools.partial(S.plan_evictions, lcfg))
+    pack = jax.jit(functools.partial(S.pack_evicted_pass, lcfg, staging))
+
+    def shard_list(arr):
+        """Per-shard local arrays ordered by global offset (shard ordinal =
+        device position along the mesh axis for every PSpec(AXIS) leaf)."""
+        return [s.data for s in sorted(arr.addressable_shards,
+                                       key=lambda s: s.index[0].start or 0)]
+
+    tnames = ("pos", "ptr", "res", "fp", "pck", "heap_high", "heap_low",
+              "high_count", "low_count")
+    pnames = ("sdf", "sumsq", "weight", "rgbp")
+    tparts = {nm: shard_list(getattr(state.table, nm)) for nm in tnames}
+    pparts = {nm: shard_list(getattr(state.pool, nm)) for nm in pnames}
+    n_shards = len(tparts["ptr"])
+    zero3 = jnp.zeros((3,), jnp.float32)
+    for d in range(n_shards):
+        table = H.HashTable(
+            pos=tparts["pos"][d], ptr=tparts["ptr"][d],
+            res=tparts["res"][d], fp=tparts["fp"][d], pck=tparts["pck"][d],
+            heap_high=tparts["heap_high"][d],
+            heap_low=tparts["heap_low"][d],
+            high_count=tparts["high_count"][d].reshape(())[()],
+            low_count=tparts["low_count"][d].reshape(())[()],
+            num_buckets=lcfg.num_blocks, num_blocks=lcfg.num_blocks)
+        pool = VoxelPool(sdf=pparts["sdf"][d], sumsq=pparts["sumsq"][d],
+                         weight=pparts["weight"][d], rgbp=pparts["rgbp"][d])
+        _, n_evict, pos_all, res_all, ptr_all = plan(
+            table, zero3, jnp.float32(0.0), jnp.asarray(True))
+        n_evict = int(n_evict)
+        nd = jnp.int32(n_evict)
+        for off in range(0, n_evict, staging):
+            pool2, buf = pack(pool, pos_all, res_all, ptr_all, nd,
+                              jnp.int32(off))
+            k = min(staging, n_evict - off)
+            buf_h = np.asarray(buf[:k]) if k == staging else \
+                np.asarray(buf)[:k]
+            pos_h, res_h, sdf_h, ssq_h, w_h, rgb_h = S.unpack_transfer(buf_h)
+            bw = (pos_h.astype(np.float64) * P.SDF_BLOCK_SIZE
+                  * cfg.virtual_voxel_size)
+            grid.add_blocks(bw, pos_h, res_h, sdf_h, ssq_h, w_h, rgb_h)
+            pool = pool2
+    return grid
+
+
+def extract_mesh_sharded(cfg: MapConfig, mesh: Mesh, state: MapState,
+                         geo, filename: str):
+    """Sharded-map extractMesh: snapshot all shards to `geo`'s host chunk
+    grid, then run the single-chip batch sweep (GeoWrapper.extractMesh).
+    `geo` must be a GeoWrapper built with a compatible MapConfig (it
+    provides the sweep capacity + mesh post-processing); its own map must
+    be empty.  Mirrors geowrapper.cpp:150-230 at the protocol level."""
+    snapshot_to_grid(cfg, mesh, state, grid=geo.streamer.grid)
+    geo.extractMesh(filename)
+    return geo.mesh
+
+
 def sharded_integrate_points(cfg: MapConfig, mesh: Mesh):
     """Sharded LiDAR frame step (mirrors pipeline.integrate_points).
 

@@ -280,8 +280,9 @@ def test_banded_starve_equals_one_shot():
     cap = bptr.shape[0]
     pool_band = state.pool
     for b in range(k):
-        sel, selok, lo, hi = I.starve_band_select(
+        sel, selok, lo, hi, n_tot = I.starve_band_select(
             cfg, cam, bpos, bvalid, jnp.int32(b), k, cap)
+        assert int(n_tot) <= cap
         s = jnp.where(selok, sel, 0)
         bv = selok & bvalid[s]
         starved = I.starve_mask(cfg, cam, bpos[s], bptr[s], bres[s], bv,
@@ -302,6 +303,20 @@ def test_banded_starve_equals_one_shot():
     for f in range(2, 8):
         sb, _ = pipeline.integrate_rgbd(cfgb, sb, cam, depth, rgb)
     assert int(sb.frame) == 8
+
+    # cap overflow: a band window larger than starve_band_cap must fall
+    # back to the full-window starve (dropped blocks would vanish from the
+    # band z-buffer and mis-starve occluded voxels — round-3 ADVICE med).
+    # cap=1 forces the fallback on every band; weights must bit-match the
+    # ample-cap run.
+    def run_banded(cap):
+        c = dataclasses.replace(cfg, starve_bands=4, starve_band_cap=cap)
+        s = state
+        for f in range(2, 8):
+            s, _ = pipeline.integrate_rgbd(c, s, cam, depth, rgb)
+        return np.asarray(s.pool.weight)
+
+    np.testing.assert_array_equal(run_banded(1), run_banded(cap))
 
 def test_alloc_miss_tier_bit_equal_to_full():
     """Presence-cache tiered alloc (ops/integrate.alloc_blocks): the small

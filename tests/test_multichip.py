@@ -304,3 +304,78 @@ def test_sharded_fused_lidar_matches_single_chip(mesh):
     assert np.array_equal(p1, ps)
     assert np.array_equal(w1, ws)
     assert np.allclose(s1, ss, atol=1e-6)
+
+
+def test_sharded_extract_mesh_matches_single_chip(mesh, tmp_path):
+    """Sharded-map extractMesh (parallel/sharding.snapshot_to_grid +
+    GeoWrapper batch sweep): the host chunk grid collected from the 8-way
+    sharded map must contain exactly the blocks/payloads the single-chip
+    stream_all_out produces, and the swept mesh must match the single-chip
+    mesh (ref protocol: geowrapper.cpp:150-230 + streamer.cpp:249-281)."""
+    from mrhash_tpu.core.streaming import Streamer
+    from mrhash_tpu.geowrapper import GeoWrapper
+
+    cfg = make_cfg()
+    cam = C.make_camera(fx=40.0, fy=40.0, cx=COLS / 2 - 0.5,
+                        cy=ROWS / 2 - 0.5, rows=ROWS, cols=COLS,
+                        min_depth=0.01, max_depth=5.0)
+    r = np.arange(ROWS, dtype=np.float32)[:, None]
+    c = np.arange(COLS, dtype=np.float32)[None, :]
+    depth = jnp.asarray(2.0 + 0.2 * np.sin(c / 9) + 0.1 * np.cos(r / 5),
+                        jnp.float32)
+    rgb = jnp.full((ROWS, COLS, 3), 128, jnp.uint8)
+
+    step = S.sharded_integrate_rgbd(cfg, mesh)
+    sstate = S.make_sharded_state(cfg, mesh)
+    state = make_state(cfg.num_blocks)
+    for _ in range(2):
+        sstate, _ = step(sstate, cam, depth, rgb)
+        state, _ = pipeline.integrate_rgbd(cfg, state, cam, depth, rgb)
+
+    # -- grid parity: sharded snapshot vs single-chip stream_all_out -------
+    grid_s = S.snapshot_to_grid(cfg, mesh, sstate, staging=1024)
+    st1 = Streamer(cfg, 1024)
+    st1.stream_all_out(state)
+    grid_1 = st1.grid
+    assert sorted(grid_s.chunks) == sorted(grid_1.chunks)
+
+    def flat(grid):
+        ks = sorted(grid.chunks)
+        cat = {f: np.concatenate([grid.chunks[k][f] for k in ks])
+               for f in ("pos", "res", "sdf", "ssq", "w", "rgb")}
+        order = np.lexsort((cat["pos"][:, 2], cat["pos"][:, 1],
+                            cat["pos"][:, 0]))
+        return {f: v[order] for f, v in cat.items()}
+
+    fs, f1 = flat(grid_s), flat(grid_1)
+    assert np.array_equal(fs["pos"], f1["pos"])
+    assert np.array_equal(fs["res"], f1["res"])
+    assert np.array_equal(fs["w"], f1["w"])
+    assert np.array_equal(fs["rgb"], f1["rgb"])
+    np.testing.assert_allclose(fs["sdf"], f1["sdf"], atol=1e-6)
+
+    # -- mesh parity through the batch sweep --------------------------------
+    def sweep(grid, name):
+        geo = GeoWrapper(sdf_truncation=0.15, sdf_truncation_scale=0.0,
+                         integration_weight_sample=1,
+                         virtual_voxel_size=0.05,
+                         n_frames_invalidate_voxels=0, voxel_extents_scale=1,
+                         gs_optimization_param_path="",
+                         num_blocks=cfg.num_blocks,
+                         max_active_blocks=cfg.max_active_blocks,
+                         max_alloc_per_frame=cfg.max_alloc_per_frame,
+                         sample_mode="gather", profiling=False)
+        geo.streamer.grid = grid
+        geo.extractMesh(str(tmp_path / name))
+        return geo.mesh
+
+    m_s = sweep(grid_s, "sharded.ply")
+    m_1 = sweep(grid_1, "single.ply")
+    assert m_1.vertices.shape[0] > 0
+
+    def canon(m):
+        v = np.round(m.vertices, 5)
+        return v[np.lexsort((v[:, 2], v[:, 1], v[:, 0]))]
+
+    assert m_s.vertices.shape[0] == m_1.vertices.shape[0]
+    np.testing.assert_allclose(canon(m_s), canon(m_1), atol=1e-4)

@@ -100,9 +100,10 @@ def main():
               f"({dt / passes * 1e3:.1f} ms/pass), {bs_out:,.0f} blocks/s",
               file=sys.stderr)
         os_ = sm.out_stats
-        print(f"#     phases: collect+wait {os_['collect_s']:.2f}s, "
-              f"fetch {os_['fetch_s']:.2f}s "
-              f"({os_['bytes'] / max(os_['fetch_s'], 1e-9) / 1e6:.1f} MB/s), "
+        mbs = os_["bytes"] / max(os_["fetch_s"], 1e-9) / 1e6
+        print(f"#     phases: plan {os_['plan_s']:.2f}s, "
+              f"pack-dispatch {os_['collect_s']:.2f}s, "
+              f"fetch {os_['fetch_s']:.2f}s ({mbs:.1f} MB/s), "
               f"host ingest {os_['ingest_s']:.2f}s, "
               f"payload {os_['bytes'] / 1e6:.0f} MB", file=sys.stderr)
         recs.append({"metric": f"stream_all_out_blocks_per_s_stage{staging}",
@@ -110,6 +111,13 @@ def main():
                      "vs_baseline": None})
         recs.append({"metric": f"stream_out_ms_per_pass_stage{staging}",
                      "value": round(dt / passes * 1e3, 1), "unit": "ms",
+                     "vs_baseline": None})
+        for ph in ("plan_s", "collect_s", "fetch_s", "ingest_s"):
+            recs.append({"metric": f"stream_out_{ph}_stage{staging}",
+                         "value": round(os_[ph], 2), "unit": "s",
+                         "vs_baseline": None})
+        recs.append({"metric": f"stream_out_fetch_mb_per_s_stage{staging}",
+                     "value": round(mbs, 1), "unit": "MB/s",
                      "vs_baseline": None})
 
         # -- streamIn (reload everything) -------------------------------------
