@@ -131,32 +131,39 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
             if _starve_k(cfg) > 1:
                 k = _starve_k(cfg)
                 cap = _starve_band_cap(cfg, A)
+                # ONE-level switch (skip / banded / full-window-fallback):
+                # the hit mask is cheap (8 corner projections/entry) and
+                # runs unconditionally; nesting the overflow cond inside
+                # the fire cond built the largest eager program in the
+                # suite and crashed XLA:CPU mid-compile (round-3/4 suite
+                # canary, tests/test_integrate banded test)
+                hit, lo, hi = I.starve_band_hits(cfg, cam, bpos, bvalid,
+                                                 band, k)
+                n_tot = jnp.sum(hit.astype(jnp.int32))
 
-                def do_band(p):
-                    sel, selok, lo, hi, n_tot = I.starve_band_select(
-                        cfg, cam, bpos, bvalid, band, k, cap)
+                def banded(p):
+                    from mrhash_tpu.ops import hashtable as HT
+                    sel, selok, _ = HT.compact_indices(hit, cap)
+                    s = jnp.where(selok, sel, 0)
+                    bv = selok & bvalid[s]
+                    starved = I.starve_mask(
+                        cfg, cam, bpos[s], rptr[s], bres[s], bv,
+                        row_band=(lo, hi))
+                    return I.apply_starve(cfg, p, rptr[s], bres[s], bv,
+                                          starved)
 
-                    def banded(p):
-                        s = jnp.where(selok, sel, 0)
-                        bv = selok & bvalid[s]
-                        starved = I.starve_mask(
-                            cfg, cam, bpos[s], rptr[s], bres[s], bv,
-                            row_band=(lo, hi))
-                        return I.apply_starve(cfg, p, rptr[s], bres[s], bv,
-                                              starved)
+                def full_window(p):
+                    # band overflowed the compacted window: dropped blocks
+                    # would vanish from the z-buffer and corrupt winner
+                    # tests — run the band on the full window
+                    starved = I.starve_mask(cfg, cam, bpos, rptr, bres,
+                                            bvalid, row_band=(lo, hi))
+                    return I.apply_starve(cfg, p, rptr, bres, bvalid,
+                                          starved)
 
-                    def full_window(p):
-                        # band overflowed the compacted window: dropped
-                        # blocks would vanish from the z-buffer and corrupt
-                        # winner tests — run the band on the full window
-                        starved = I.starve_mask(cfg, cam, bpos, rptr, bres,
-                                                bvalid, row_band=(lo, hi))
-                        return I.apply_starve(cfg, p, rptr, bres, bvalid,
-                                              starved)
-
-                    return jax.lax.cond(n_tot <= cap, banded, full_window, p)
-
-                rpool = jax.lax.cond(fire, do_band, lambda p: p, rpool)
+                idx = jnp.where(fire, jnp.where(n_tot <= cap, 1, 2), 0)
+                rpool = jax.lax.switch(idx, [lambda p: p, banded,
+                                             full_window], rpool)
             else:
                 rpool = jax.lax.cond(
                     fire,
@@ -228,28 +235,28 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
         if _starve_k(cfg) > 1:
             k = _starve_k(cfg)
             cap = _starve_band_cap(cfg, bptr.shape[0])
+            hit, lo, hi = I.starve_band_hits(cfg, cam, bpos, bvalid, band, k)
+            n_tot = jnp.sum(hit.astype(jnp.int32))
 
-            def do_band(pool):
-                sel, selok, lo, hi, n_tot = I.starve_band_select(
-                    cfg, cam, bpos, bvalid, band, k, cap)
+            def banded(pool):
+                from mrhash_tpu.ops import hashtable as HT
+                sel, selok, _ = HT.compact_indices(hit, cap)
+                s = jnp.where(selok, sel, 0)
+                bv = selok & bvalid[s]
+                starved = I.starve_mask(cfg, cam, bpos[s], bptr[s],
+                                        bres[s], bv, row_band=(lo, hi))
+                return I.apply_starve(cfg, pool, bptr[s], bres[s], bv,
+                                      starved)
 
-                def banded(pool):
-                    s = jnp.where(selok, sel, 0)
-                    bv = selok & bvalid[s]
-                    starved = I.starve_mask(cfg, cam, bpos[s], bptr[s],
-                                            bres[s], bv, row_band=(lo, hi))
-                    return I.apply_starve(cfg, pool, bptr[s], bres[s], bv,
-                                          starved)
+            def full_window(pool):
+                starved = I.starve_mask(cfg, cam, bpos, bptr, bres,
+                                        bvalid, row_band=(lo, hi))
+                return I.apply_starve(cfg, pool, bptr, bres, bvalid,
+                                      starved)
 
-                def full_window(pool):
-                    starved = I.starve_mask(cfg, cam, bpos, bptr, bres,
-                                            bvalid, row_band=(lo, hi))
-                    return I.apply_starve(cfg, pool, bptr, bres, bvalid,
-                                          starved)
-
-                return jax.lax.cond(n_tot <= cap, banded, full_window, pool)
-
-            pool = jax.lax.cond(fire, do_band, lambda p: p, pool)
+            idx = jnp.where(fire, jnp.where(n_tot <= cap, 1, 2), 0)
+            pool = jax.lax.switch(idx, [lambda p: p, banded, full_window],
+                                  pool)
         else:
             pool = jax.lax.cond(
                 fire,
@@ -346,36 +353,34 @@ def _integrate_rgbd_resident_multires(cfg: MapConfig, state: MapState,
         if _starve_k(cfg) > 1:
             k = _starve_k(cfg)
             cap = _starve_band_cap(cfg, bptr.shape[0])
+            hit, lo, hi = I.starve_band_hits(cfg, cam, bpos, bvalid, band, k)
+            n_tot = jnp.sum(hit.astype(jnp.int32))
 
-            def do_band(pool, rpool):
-                sel, selok, lo, hi, n_tot = I.starve_band_select(
-                    cfg, cam, bpos, bvalid, band, k, cap)
+            def banded(pool, rpool):
+                from mrhash_tpu.ops import hashtable as HT
+                sel, selok, _ = HT.compact_indices(hit, cap)
+                s = jnp.where(selok, sel, 0)
+                bv = selok & bvalid[s]
+                starved = I.starve_mask(cfg, cam, bpos[s], bptr[s],
+                                        bres[s], bv, row_band=(lo, hi))
+                rpool = I.apply_starve(cfg, rpool, rptr_now[s], bres[s],
+                                       bv & (eslot_now[s] >= 0), starved)
+                pool = I.apply_starve(cfg, pool, bptr[s], bres[s],
+                                      bv & (eslot_now[s] < 0), starved)
+                return pool, rpool
 
-                def banded(pool, rpool):
-                    s = jnp.where(selok, sel, 0)
-                    bv = selok & bvalid[s]
-                    starved = I.starve_mask(cfg, cam, bpos[s], bptr[s],
-                                            bres[s], bv, row_band=(lo, hi))
-                    rpool = I.apply_starve(cfg, rpool, rptr_now[s], bres[s],
-                                           bv & (eslot_now[s] >= 0), starved)
-                    pool = I.apply_starve(cfg, pool, bptr[s], bres[s],
-                                          bv & (eslot_now[s] < 0), starved)
-                    return pool, rpool
+            def full_window(pool, rpool):
+                starved = I.starve_mask(cfg, cam, bpos, bptr, bres,
+                                        bvalid, row_band=(lo, hi))
+                rpool = I.apply_starve(cfg, rpool, rptr_now, bres,
+                                       svalid_res, starved)
+                pool = I.apply_starve(cfg, pool, bptr, bres, rem, starved)
+                return pool, rpool
 
-                def full_window(pool, rpool):
-                    starved = I.starve_mask(cfg, cam, bpos, bptr, bres,
-                                            bvalid, row_band=(lo, hi))
-                    rpool = I.apply_starve(cfg, rpool, rptr_now, bres,
-                                           svalid_res, starved)
-                    pool = I.apply_starve(cfg, pool, bptr, bres, rem,
-                                          starved)
-                    return pool, rpool
-
-                return jax.lax.cond(n_tot <= cap, banded, full_window,
-                                    pool, rpool)
-
-            pool, rpool = jax.lax.cond(fire, do_band, lambda p, q: (p, q),
-                                       pool, rp.pool)
+            idx = jnp.where(fire, jnp.where(n_tot <= cap, 1, 2), 0)
+            pool, rpool = jax.lax.switch(
+                idx, [lambda p, q: (p, q), banded, full_window],
+                pool, rp.pool)
         else:
             def do_starve(pool, rpool):
                 starved = I.starve_mask(cfg, cam, bpos, bptr, bres, bvalid)

@@ -199,6 +199,47 @@ def _tile_pairs(attrs, grid_x, grid_y):
         gidx.reshape(-1), ok.reshape(-1))
 
 
+def _tile_pairs_compact(attrs, grid_x, grid_y, pair_cap):
+    """duplicateWithKeys with the CUDA version's EXACT-count expansion
+    (rasterizer_impl.cu:65-96 after the CUB InclusiveSum of tiles_touched):
+    pair p belongs to the gaussian whose cumulative tile count covers rank
+    p, so the pair list is `total`-long instead of G * MAX_TILES_SIDE^2 —
+    the [tile|depth] sort is the per-iteration cost center (measured ~8 ms
+    of the 25 ms Adam iter at 1200x680), and it scales with the pair-list
+    LENGTH.  pair_cap bounds the list; ranks past the cap drop (generous
+    caps make this empty — callers default to 16 pairs/gaussian vs the
+    dense form's 64).  Returns (tile, depth, gidx, ok), all [pair_cap]."""
+    xy = attrs["xy"]
+    r = attrs["radius"]
+    rect_min_x = jnp.clip(((xy[:, 0] - r) / BLOCK).astype(jnp.int32), 0,
+                          grid_x)
+    rect_min_y = jnp.clip(((xy[:, 1] - r) / BLOCK).astype(jnp.int32), 0,
+                          grid_y)
+    rect_max_x = jnp.clip(((xy[:, 0] + r + BLOCK - 1) / BLOCK
+                           ).astype(jnp.int32), 0, grid_x)
+    rect_max_y = jnp.clip(((xy[:, 1] + r + BLOCK - 1) / BLOCK
+                           ).astype(jnp.int32), 0, grid_y)
+    s = MAX_TILES_SIDE
+    w = jnp.clip(rect_max_x - rect_min_x, 0, s)
+    h = jnp.clip(rect_max_y - rect_min_y, 0, s)
+    touched = jnp.where(attrs["valid"], w * h, 0)
+    cs = jnp.cumsum(touched)
+    total = cs[-1]
+
+    p = jnp.arange(pair_cap, dtype=jnp.int32)
+    g = jnp.searchsorted(cs, p, side="right").astype(jnp.int32)
+    ok = p < jnp.minimum(total, pair_cap)
+    g = jnp.where(ok, g, 0)
+    base = cs[g] - touched[g]
+    local = p - base
+    w_g = jnp.maximum(w[g], 1)
+    tx = rect_min_x[g] + local % w_g
+    ty = rect_min_y[g] + local // w_g
+    tile = ty * grid_x + tx
+    depth = attrs["depth"][g]
+    return tile, depth, g, ok
+
+
 def _alpha_terms(xy, con, op, pixf):
     """Shared forward/backward math of one blend step: gaussian falloff and
     alpha for each pixel of each tile (forward.cu:300-318)."""
@@ -320,21 +361,31 @@ blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 
 
 def render(params, active, cam, bg_color, sh_degree, max_per_tile=128,
-           blend_impl="auto"):
+           blend_impl="auto", pairs="compact"):
     """Full forward render -> (image f32[3,H,W], radii [G]).  Differentiable
     w.r.t. params through the gathered per-gaussian attributes.
 
     blend_impl: "auto" picks the Pallas tile-blend kernels on TPU (the XLA
     scan pays ~0.1 ms of dispatch per one of the K composite steps —
     BENCH_GS cap sweep) and the XLA scan elsewhere; "xla" / "pallas" /
-    "pallas_interpret" force a path."""
+    "pallas_interpret" force a path.
+
+    pairs: "compact" (default) uses the exact-count pair expansion capped
+    at 16 pairs/gaussian on average (_tile_pairs_compact — the [tile|depth]
+    sort shrinks ~4x); "dense" keeps the static 64-slots-per-gaussian form
+    (never drops a pair inside the 8x8 rect cap)."""
     H, W = cam["H"], cam["W"]
     grid_x = (W + BLOCK - 1) // BLOCK
     grid_y = (H + BLOCK - 1) // BLOCK
     n_tiles = grid_x * grid_y
 
     attrs = preprocess(params, active, cam, sh_degree)
-    tile, depth, gidx, ok = _tile_pairs(attrs, grid_x, grid_y)
+    if pairs == "compact":
+        G = attrs["xy"].shape[0]
+        tile, depth, gidx, ok = _tile_pairs_compact(attrs, grid_x, grid_y,
+                                                    pair_cap=16 * G)
+    else:
+        tile, depth, gidx, ok = _tile_pairs(attrs, grid_x, grid_y)
 
     # sort pairs by (tile, depth); invalid pairs sort to the end
     sort_tile = jnp.where(ok, tile, n_tiles)

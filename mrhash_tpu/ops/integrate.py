@@ -1478,21 +1478,19 @@ def fused_integrate_points(cfg: MapConfig, table: H.HashTable,
 # garbage collection
 # ---------------------------------------------------------------------------
 
-def starve_band_select(cfg: MapConfig, cam: C.Camera, bpos, bvalid,
-                       band, n_bands: int, cap: int):
-    """Window entries whose projected row span intersects image-row band
-    `band` of `n_bands` (banded starve, cfg.starve_bands > 1).
+def starve_band_hits(cfg: MapConfig, cam: C.Camera, bpos, bvalid,
+                     band, n_bands: int):
+    """Hit mask of window entries whose projected row span intersects
+    image-row band `band` of `n_bands` (banded starve,
+    cfg.starve_bands > 1).
 
     Exact for pinhole cameras: a block's perspective projection is the
     convex hull of its 8 projected corners, so the corner row min/max
     bound every voxel's row.  Blocks with any corner at or behind the
     near plane are conservatively included in every band.  Returns
-    (sel[cap], selok[cap], band_lo, band_hi, n_total) — compacted window
-    indices plus the TOTAL hit count.  Overflow (n_total > cap) must NOT
-    be treated as a benign stagger: dropped blocks also vanish from the
-    band's z-buffer, so occluded voxels behind them would become false
-    per-pixel winners and starve.  Callers lax.cond on n_total <= cap and
-    fall back to the full-window starve for the band otherwise."""
+    (hit[A], band_lo, band_hi).  Cheap (8 corner projections per entry),
+    so callers run it unconditionally and branch on jnp.sum(hit) — the
+    compaction to a capped window happens inside the banded branch."""
     vvs = cfg.virtual_voxel_size
     ext = jnp.asarray(
         [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
@@ -1512,6 +1510,18 @@ def starve_band_select(cfg: MapConfig, cam: C.Camera, bpos, bvalid,
     lo = band * (H_ // n_bands)
     hi = jnp.where(band == n_bands - 1, H_, (band + 1) * (H_ // n_bands))
     hit = bvalid & (any_bad | ((rmin <= hi - 1) & (rmax >= lo)))
+    return hit, lo, hi
+
+
+def starve_band_select(cfg: MapConfig, cam: C.Camera, bpos, bvalid,
+                       band, n_bands: int, cap: int):
+    """starve_band_hits + compaction to a [cap] window.  Returns
+    (sel[cap], selok[cap], band_lo, band_hi, n_total).  Overflow
+    (n_total > cap) must NOT be treated as a benign stagger: dropped
+    blocks also vanish from the band's z-buffer, so occluded voxels
+    behind them would become false per-pixel winners and starve —
+    callers fall back to the full-window starve for the band."""
+    hit, lo, hi = starve_band_hits(cfg, cam, bpos, bvalid, band, n_bands)
     sel, selok, n_total = H.compact_indices(hit, cap)
     return sel, selok, lo, hi, n_total
 

@@ -240,3 +240,32 @@ def test_blend_pallas_matches_xla():
     for name, x, y in zip(("xy", "conic", "opac", "rgb"), gx, gp):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x),
                                    atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def test_compact_pairs_match_dense():
+    """The exact-count pair expansion (_tile_pairs_compact) must produce a
+    bit-identical image to the dense 64-slot form whenever nothing drops:
+    both emit pairs gaussian-major and row-major within a rect, and
+    lax.sort is stable, so the per-tile front-most-K selection is the same
+    list.  Also checks gradients match."""
+    m = make_model(n=96, seed=3, anisotropic=True)
+    cam = cam_dict()
+    img_c, rad_c = render(m.params, m.active_mask, cam, m.background, 3,
+                          pairs="compact")
+    img_d, rad_d = render(m.params, m.active_mask, cam, m.background, 3,
+                          pairs="dense")
+    np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_d))
+    np.testing.assert_array_equal(np.asarray(rad_c), np.asarray(rad_d))
+
+    gt = jnp.zeros((3, 64, 64), jnp.float32)
+
+    def loss(params, pairs):
+        img, _ = render(params, m.active_mask, cam, m.background, 3,
+                        pairs=pairs)
+        return losses.l1_loss(img, gt)
+
+    gc_ = jax.grad(lambda p: loss(p, "compact"))(m.params)
+    gd_ = jax.grad(lambda p: loss(p, "dense"))(m.params)
+    for k in gc_:
+        np.testing.assert_array_equal(np.asarray(gc_[k]),
+                                      np.asarray(gd_[k]))

@@ -183,3 +183,53 @@ def test_multires_deserialize_into_fresh_map(tmp_path):
     assert res1 == res_before, (res1, res_before)
     # nothing lost: resident + still-in-RAM == checkpointed
     assert int(occ.sum()) + streamer2.grid.num_blocks() == n_ram
+
+
+def test_packed_transfer_extreme_values_roundtrip():
+    """pack_evicted_pass's single-buffer encoding (sdf/sumsq bit-cast,
+    weight riding rgb's spare byte) must be exact at the extremes:
+    weight == 255 (the u8 cap), rgb == 0xFFFFFF, negative/denormal sdf."""
+    import jax
+    from mrhash_tpu.core import streaming as S
+    from mrhash_tpu.ops import hashtable as H
+
+    cfg, cam = make_setup()
+    state = make_state(cfg.num_blocks)
+    n = 17
+    pos = np.stack([np.arange(n), np.zeros(n), -np.arange(n)],
+                   1).astype(np.int32)
+    table, info = H.insert(state.table, jnp.asarray(pos),
+                           jnp.ones((n,), bool), jnp.zeros((n,), jnp.int32))
+    rows = np.asarray(info["ptr"]) // P.TOTAL_SDF_BLOCK_SIZE
+    sdf = np.full((cfg.num_blocks, 512), -1e-38, np.float32)
+    sdf[:, 0] = -0.07
+    ssq = np.full((cfg.num_blocks, 512), 3.402e38, np.float32)
+    w = np.full((cfg.num_blocks, 512), 255, np.int32)
+    rgbp = np.full((cfg.num_blocks, 512), 0xFFFFFF, np.int32)
+    pool = state.pool.replace(sdf=jnp.asarray(sdf), sumsq=jnp.asarray(ssq),
+                              weight=jnp.asarray(w), rgbp=jnp.asarray(rgbp))
+
+    staging = 8  # force multiple passes incl. a partial last one
+    t2, n_evict, pos_all, res_all, ptr_all = S.plan_evictions(
+        cfg, table, jnp.zeros(3, jnp.float32), jnp.float32(0.0),
+        jnp.asarray(True))
+    assert int(n_evict) == n
+    got = {}
+    p = pool
+    for off in range(0, n, staging):
+        p, buf = S.pack_evicted_pass(cfg, staging, p, pos_all, res_all,
+                                     ptr_all, n_evict, jnp.int32(off))
+        k = min(staging, n - off)
+        ph, rh, sh, qh, wh, ch = S.unpack_transfer(np.asarray(buf[:k]))
+        for i in range(k):
+            got[tuple(ph[i])] = (sh[i], qh[i], wh[i], ch[i])
+    assert len(got) == n
+    for i in range(n):
+        s_i, q_i, w_i, c_i = got[tuple(pos[i])]
+        r = rows[i]
+        np.testing.assert_array_equal(s_i, sdf[r])
+        np.testing.assert_array_equal(q_i, ssq[r])
+        np.testing.assert_array_equal(w_i, np.full(512, 255))
+        np.testing.assert_array_equal(c_i, np.full(512, 0xFFFFFF))
+    # the gathered rows were zero-cleared on the way out
+    assert float(jnp.sum(jnp.abs(p.sdf[jnp.asarray(rows)]))) == 0.0

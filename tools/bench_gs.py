@@ -212,9 +212,34 @@ def main():
                  "value": round(ps_h_fin, 2), "unit": "dB",
                  "vs_baseline": None})
 
-    # ---- max_per_tile cap sensitivity -------------------------------------
+    # ---- pair-expansion form: compact (exact-count, default) vs dense ----
     active = m.active_mask
     cd = dict(cam_d, W=cols, H=rows)
+    for form in ("compact", "dense"):
+        f = jax.jit(lambda p, fm=form: render(p, active, cd, m.background,
+                                              gc.p.sh_degree, pairs=fm))
+        img_f, _ = f(m.params)
+        jax.block_until_ready(img_f)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            img_f, _ = f(m.params)
+        img_f = jax.block_until_ready(img_f)
+        fwd_ms = (time.perf_counter() - t0) * 1e3 / 5
+        if form == "dense":
+            delta = float(jnp.mean(jnp.abs(img_f - img_compact)))
+            print(f"# pairs dense: fwd {fwd_ms:.1f} ms, mean|dC| vs "
+                  f"compact = {delta:.2e}", file=sys.stderr)
+            recs.append({"metric": "gs_pairs_dense_vs_compact_delta",
+                         "value": delta, "unit": "intensity",
+                         "vs_baseline": None})
+        else:
+            img_compact = img_f
+            print(f"# pairs compact: fwd {fwd_ms:.1f} ms", file=sys.stderr)
+        recs.append({"metric": f"gs_pairs_{form}_forward_ms",
+                     "value": round(fwd_ms, 1), "unit": "ms",
+                     "vs_baseline": None})
+
+    # ---- max_per_tile cap sensitivity -------------------------------------
     ref_img, _ = jax.jit(lambda p: render(p, active, cd, m.background,
                                           gc.p.sh_degree,
                                           max_per_tile=512))(m.params)

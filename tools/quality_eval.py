@@ -24,6 +24,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+P_BLOCK = 8  # SDF_BLOCK_SIZE (virtual voxels per block side)
+
 PRESETS = dict(
     # rows, cols, fx, voxel, truncation, num_blocks
     replica=(680, 1200, 600.0, 0.01, 0.07, 1 << 19),
@@ -236,7 +238,8 @@ def cull_to_observed(gt, poses, fx, cx, cy, rows, cols, max_depth):
 
 def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
                 mesh_path="/tmp/quality_mesh.ply", write_json=True,
-                scene="box", multires=False, extract_mode="sweep"):
+                scene="box", multires=False, extract_mode="sweep",
+                var_threshold=1.0, min_weight=2):
     """Integrate a full orbit of the scene ("box" = empty 6 m room,
     "clutter" = room + oblique boxes/spheres/ramp), extract the mesh,
     evaluate vs analytic GT.  multires=True turns variance coarsening on
@@ -257,8 +260,8 @@ def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
                     integration_weight_sample=1, virtual_voxel_size=vvs,
                     n_frames_invalidate_voxels=0, voxel_extents_scale=1,
                     gs_optimization_param_path="", num_blocks=num_blocks,
-                    sdf_var_threshold=1.0 if multires else 0.0,
-                    min_weight_threshold=2)
+                    sdf_var_threshold=var_threshold if multires else 0.0,
+                    min_weight_threshold=min_weight)
     gw.setCamera(fx, fx, cols / 2 - 0.5, rows / 2 - 0.5, rows, cols,
                  0.01, 30.0)
 
@@ -319,6 +322,34 @@ def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
     rows_m = eval_utils.evaluate_reconstruction(est, gt)
     for r in rows_m:
         print(json.dumps(r))
+
+    if multires:
+        # recall-miss diagnosis (round-3 VERDICT next #4): bucket GT points
+        # with no mesh within 5 cm by the RESOLUTION of the block that owns
+        # them in the final map (host chunk grid), separating "coarse
+        # region meshed poorly" from "region never allocated".
+        d_gt = eval_utils.nn_distances(gt, est)
+        missed = gt[d_gt > 0.05]
+        grid = gw.streamer.grid
+        pos_all, res_all = [], []
+        for g in grid.chunks.values():
+            pos_all.append(g["pos"])
+            res_all.append(g["res"])
+        if pos_all:
+            pos_all = np.concatenate(pos_all)
+            res_all = np.concatenate(res_all)
+            res_of = {tuple(p): int(r) for p, r in zip(pos_all, res_all)}
+            bs = P_BLOCK * vvs
+            keys = np.floor(missed / bs).astype(np.int64)
+            buckets = {0: 0, 1: 0, -1: 0}
+            for k in keys:
+                buckets[res_of.get(tuple(k), -1)] += 1
+            n_res1 = int((res_all == 1).sum())
+            print(f"# recall-miss diagnosis: {missed.shape[0]} GT points "
+                  f">5cm from mesh; owner res0={buckets[0]} "
+                  f"res1={buckets[1]} unallocated={buckets[-1]}; map has "
+                  f"{n_res1}/{res_all.shape[0]} res-1 blocks",
+                  file=sys.stderr)
     if write_json and res != "replica":
         print("# small preset: not writing QUALITY.json (committed artifact "
               "is replica-res only)", file=sys.stderr)
@@ -366,9 +397,14 @@ def main():
     ap.add_argument("--n-eval-points", type=int, default=2_000_000)
     ap.add_argument("--scene", default="box", choices=("box", "clutter"))
     ap.add_argument("--multires", action="store_true")
+    ap.add_argument("--var-threshold", type=float, default=1.0)
+    ap.add_argument("--min-weight", type=int, default=2)
+    ap.add_argument("--no-json", action="store_true")
     args = ap.parse_args()
     run_quality(args.frames, args.res, args.n_eval_points,
-                scene=args.scene, multires=args.multires)
+                scene=args.scene, multires=args.multires,
+                var_threshold=args.var_threshold, min_weight=args.min_weight,
+                write_json=not args.no_json)
 
 
 if __name__ == "__main__":
