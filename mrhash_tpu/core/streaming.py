@@ -183,14 +183,22 @@ def plan_evictions(cfg: MapConfig, table: H.HashTable, cam_pos, radius,
     dist = jnp.linalg.norm(pw - cam_pos, axis=-1)
     evict = occupied & (all_out | (dist >= radius))
 
+    # scatter-based compaction: at k ~ capacity, compact_indices'
+    # searchsorted formulation pays C*log2(C) element gathers (measured
+    # 2.9 s/plan at capacity 5.2M on v5e); a cumsum + 3 dropped scatters is
+    # O(C) sources (~30 ms per 5M, DESIGN.md scatter rule)
     C = table.capacity
-    sel, valid, n_total = H.compact_indices(evict, C)
-    slot_buf = jnp.where(valid, sel, -1)
-    safe = jnp.where(valid, slot_buf, 0)
-    out_pos = jnp.where(valid[:, None], table.pos[safe], 0)
-    out_res = jnp.where(valid, table.res[safe], 0)
-    out_ptr = jnp.where(valid, table.ptr[safe], 0)
-    table, _, _, _ = H.free_slots(table, slot_buf, valid)
+    cs = jnp.cumsum(evict.astype(jnp.int32))
+    n_total = cs[-1]
+    dest = jnp.where(evict, cs - 1, C)
+    out_pos = jnp.zeros((C, 3), jnp.int32).at[dest].set(
+        table.pos, mode="drop", unique_indices=True)
+    out_res = jnp.zeros((C,), jnp.int32).at[dest].set(
+        table.res, mode="drop", unique_indices=True)
+    out_ptr = jnp.zeros((C,), jnp.int32).at[dest].set(
+        table.ptr, mode="drop", unique_indices=True)
+    table, _, _, _ = H.free_slots(
+        table, jnp.arange(C, dtype=jnp.int32), evict)
     return table, n_total, out_pos, out_res, out_ptr
 
 
@@ -384,29 +392,44 @@ class Streamer:
             t <<= 1
         return t
 
-    def _ingest(self, staged):
-        """Host half of a stream-out pass: fetch the packed payload (ONE
-        device->host transfer) and insert it into the chunk grid.  Runs
-        while the NEXT device pass executes (the reference overlaps the
-        same way with pinned-memory DMA + CUDA events,
-        streamer.cpp:255-276)."""
+    # fetches are sliced: the axon tunnel's effective D2H rate HALVES on
+    # very large single transfers (measured 18.3 MB/s at 25 MB fetches vs
+    # 8.3 MB/s at 202 MB, tools/bench_streaming.py round 4)
+    FETCH_SLICE = 8192
+
+    def _fetch(self, staged):
+        """Wire half of a stream-out pass: fetch the packed payload (one
+        sliced device->host transfer) and buffer the decoded rows; the
+        grid insert is deferred to _flush_ingest so per-chunk dedup/sort
+        work runs ONCE per stream event instead of once per pass."""
         import time
         buf, n = staged
         if n == 0:
             return
         t0 = time.perf_counter()
         k = min(self._fetch_rows(n), buf.shape[0])
-        buf_h = np.asarray(buf[:k])[:n]
-        t1 = time.perf_counter()
+        parts = [np.asarray(buf[off:min(off + self.FETCH_SLICE, k)])
+                 for off in range(0, k, self.FETCH_SLICE)]
+        buf_h = (parts[0] if len(parts) == 1 else np.concatenate(parts))[:n]
+        self.out_stats["fetch_s"] += time.perf_counter() - t0
+        self.out_stats["bytes"] += buf_h.nbytes
+        self._pending_rows.append(buf_h)
+
+    def _flush_ingest(self):
+        """Decode + chunk-grid insert of every fetched pass in one shot."""
+        import time
+        if not self._pending_rows:
+            return
+        t0 = time.perf_counter()
+        buf_h = (self._pending_rows[0] if len(self._pending_rows) == 1
+                 else np.concatenate(self._pending_rows))
+        self._pending_rows = []
         pos_h, res_h, sdf_h, ssq_h, w_h, rgb_h = unpack_transfer(buf_h)
         block_world = (pos_h.astype(np.float64)
                        * P.SDF_BLOCK_SIZE * self.cfg.virtual_voxel_size)
         self.grid.add_blocks(block_world, pos_h, res_h, sdf_h, ssq_h,
                              w_h, rgb_h)
-        t2 = time.perf_counter()
-        self.out_stats["fetch_s"] += t1 - t0
-        self.out_stats["ingest_s"] += t2 - t1
-        self.out_stats["bytes"] += buf_h.nbytes
+        self.out_stats["ingest_s"] += time.perf_counter() - t0
 
     def _stream_out_loop(self, state: MapState, cam_pos, radius, all_out):
         """Plan-once + pipelined pass loop: ONE full-table program frees
@@ -431,6 +454,7 @@ class Streamer:
             return state
         pool = state.pool
         pending = None
+        self._pending_rows = []
         n_dev = jnp.int32(n_evict)
         for off in range(0, n_evict, self.staging):
             t0 = time.perf_counter()
@@ -439,9 +463,10 @@ class Streamer:
             self.out_stats["collect_s"] += time.perf_counter() - t0
             self.out_stats["passes"] += 1
             if pending is not None:
-                self._ingest(pending)
+                self._fetch(pending)
             pending = (buf, min(self.staging, n_evict - off))
-        self._ingest(pending)
+        self._fetch(pending)
+        self._flush_ingest()
         return state.replace(pool=pool)
 
     def stream_out(self, state: MapState, cam_pos, radius) -> MapState:

@@ -591,9 +591,13 @@ class GeoWrapper:
         meshes exactly once; 1-ring context chunks serve only the
         boundary-corner reads), and the device map is wiped by one donated
         clear program between batches."""
+        import time
+        t_start = time.perf_counter()
         self._drop_resident()
         self.state = self.streamer.stream_all_out(self.state)
         self.mesh.reset()
+        ph = dict(out_s=time.perf_counter() - t_start, insert_s=0.0,
+                  extract_s=0.0, clear_s=0.0, host_s=0.0, batches=0)
         grid = self.streamer.grid
         if grid.chunks:
             sizes = {k: g["pos"].shape[0] for k, g in grid.chunks.items()}
@@ -625,19 +629,31 @@ class GeoWrapper:
                 blocks = {k: np.concatenate([g[k] for g in groups])
                           for k in groups[0]}
                 owned = np.concatenate(owned_parts)
+                t0 = time.perf_counter()
                 state, owned_mask, dropped = self.streamer.insert_readonly(
                     self.state, blocks, owned)
+                ph["insert_s"] += time.perf_counter() - t0
+                ph["batches"] += 1
                 if dropped:
                     print(f"GeoWrapper::extractMesh | {dropped} blocks did "
                           "not fit the device hash this batch; their cells "
                           "are missing from the mesh (raise num_blocks)")
+                t0 = time.perf_counter()
                 tri_pos, tri_col = self._extract_resident(
                     state=state, owned=jnp.asarray(owned_mask))
+                ph["extract_s"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
                 if tri_pos.shape[0] > 0:
                     self.mesh.add_triangles(tri_pos, tri_col)
+                ph["host_s"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
                 t, p = self._jit_clear_map()(state.table, state.pool)
                 self.state = state.replace(table=t, pool=p)
+                ph["clear_s"] += time.perf_counter() - t0
             self._high_free = self.cfg.num_blocks
+        print("GeoWrapper::extractMesh | phases "
+              + " ".join(f"{k}={v:.1f}" if isinstance(v, float)
+                         else f"{k}={v}" for k, v in ph.items()))
 
         plyio.write_mesh_ply(filename, self.mesh.vertices, self.mesh.faces,
                              self.mesh.colors)

@@ -64,6 +64,24 @@ def main():
     pos = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
 
     recs = []
+    # raw tunnel D2H bound: one contiguous device->host fetch, no decode —
+    # stream-out throughput claims are judged against THIS (the packed
+    # transfer cannot beat the wire)
+    probe = jnp.arange(16 << 20, dtype=jnp.int32)  # 64 MB on device
+    np.asarray(probe[:8])  # materialize + warm the slice program
+    for mb in (4, 32):
+        k = (mb << 20) // 4
+        np.asarray(probe[:k])
+        t0 = time.perf_counter()
+        np.asarray(probe[:k])
+        rate = mb / (time.perf_counter() - t0)
+        print(f"# raw tunnel D2H @ {mb} MB: {rate:.1f} MB/s",
+              file=sys.stderr)
+        recs.append({"metric": f"tunnel_d2h_mb_per_s_{mb}mb",
+                     "value": round(rate, 1), "unit": "MB/s",
+                     "vs_baseline": None})
+    del probe
+
     for staging in args.staging:
         state = make_state(cfg.num_blocks)
         sm = Streamer(cfg, staging)
