@@ -69,7 +69,7 @@ def main():
         # 4 buckets/block -> hash capacity C = 1.3M slots instead of the
         # reference's 10x-oversized C = 5.2M; insert/compact/GC all touch
         # C-sized arrays every frame (load factor stays <= 0.4 even full)
-        num_buckets=1 << 17,
+        num_buckets=1 << 15,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode,
         alloc_tile=4,
         # banded starve: the one-shot z-buffer event measured 3.7x the

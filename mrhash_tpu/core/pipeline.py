@@ -140,6 +140,7 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
                 hit, lo, hi = I.starve_band_hits(cfg, cam, bpos, bvalid,
                                                  band, k)
                 n_tot = jnp.sum(hit.astype(jnp.int32))
+                band_rows = cam.rows // k + cam.rows % k
 
                 def banded(p):
                     from mrhash_tpu.ops import hashtable as HT
@@ -148,7 +149,8 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
                     bv = selok & bvalid[s]
                     starved = I.starve_mask(
                         cfg, cam, bpos[s], rptr[s], bres[s], bv,
-                        row_band=(lo, hi))
+                        row_band=(lo, hi),
+                        band_rows=band_rows)
                     return I.apply_starve(cfg, p, rptr[s], bres[s], bv,
                                           starved)
 
@@ -157,7 +159,8 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
                     # would vanish from the z-buffer and corrupt winner
                     # tests — run the band on the full window
                     starved = I.starve_mask(cfg, cam, bpos, rptr, bres,
-                                            bvalid, row_band=(lo, hi))
+                                            bvalid, row_band=(lo, hi),
+                        band_rows=band_rows)
                     return I.apply_starve(cfg, p, rptr, bres, bvalid,
                                           starved)
 
@@ -237,6 +240,7 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
             cap = _starve_band_cap(cfg, bptr.shape[0])
             hit, lo, hi = I.starve_band_hits(cfg, cam, bpos, bvalid, band, k)
             n_tot = jnp.sum(hit.astype(jnp.int32))
+            band_rows = cam.rows // k + cam.rows % k
 
             def banded(pool):
                 from mrhash_tpu.ops import hashtable as HT
@@ -244,13 +248,15 @@ def integrate_rgbd(cfg: MapConfig, state: MapState, cam: C.Camera,
                 s = jnp.where(selok, sel, 0)
                 bv = selok & bvalid[s]
                 starved = I.starve_mask(cfg, cam, bpos[s], bptr[s],
-                                        bres[s], bv, row_band=(lo, hi))
+                                        bres[s], bv, row_band=(lo, hi),
+                        band_rows=band_rows)
                 return I.apply_starve(cfg, pool, bptr[s], bres[s], bv,
                                       starved)
 
             def full_window(pool):
                 starved = I.starve_mask(cfg, cam, bpos, bptr, bres,
-                                        bvalid, row_band=(lo, hi))
+                                        bvalid, row_band=(lo, hi),
+                        band_rows=band_rows)
                 return I.apply_starve(cfg, pool, bptr, bres, bvalid,
                                       starved)
 
@@ -311,22 +317,35 @@ def _integrate_rgbd_resident_multires(cfg: MapConfig, state: MapState,
 
     def chain_of_u(u):
         def do_coarsen(table, pool, rp):
+            # the decided fine rows may be resident with writes newer than
+            # the big pool — flush them first so the coarsen downsample-
+            # merge reads current data (and their residency drops here
+            # instead of after the free).  Same u-compaction as inside
+            # coarsen_by_variance; XLA CSEs the duplicate.
+            from mrhash_tpu.ops import hashtable as HT
+            sel_u, selok_u, _ = HT.compact_indices(decide, u)
+            safe_u = jnp.where(selok_u, sel_u, 0)
+            rp2, pool = RES.flush_release_rows(rp, pool,
+                                               bptr[safe_u] // 512, selok_u)
+
+            # new carve rows may be resident via sibling carves: flush +
+            # release before the downsample-merge / reintegrate write their
+            # windows through the big pool (hook runs post-insert,
+            # pre-downsample inside coarsen_by_variance)
+            rp_cell = [rp2]
+
+            def flush_new_carves(t, p, info):
+                safe = jnp.where(info["was_new"], info["slot"], 0)
+                rp_cell[0], p = RES.flush_release_rows(
+                    rp_cell[0], p, t.ptr[safe] // 512, info["was_new"])
+                return p
+
             t, p, new_slots, new_mask, freed = I.coarsen_by_variance(
                 cfg, table, pool, slots, bpos, bptr, bres, bvalid,
-                decide=decide, u=u)
-            # freed res-0 rows: big rows are zero-cleared; their resident
-            # data is discarded with them — just drop residency
-            rp2 = RES.release_rows(rp, bptr // 512, rm["eslot"],
-                                   freed & slotted)
-            # new carve rows may be resident via sibling carves: flush +
-            # release before reintegrate writes their windows through the
-            # big pool
-            safe = jnp.where(new_mask, new_slots, 0)
-            rp2, p = RES.flush_release_rows(rp2, p, t.ptr[safe] // 512,
-                                            new_mask)
+                decide=decide, u=u, pre_write_hook=flush_new_carves)
             p = I.reintegrate_blocks(rcfg, t, p, cam, pc_depth, rgb_img,
                                      new_slots, new_mask)
-            return t, p, rp2, freed
+            return t, p, rp_cell[0], freed
         return do_coarsen
 
     def skip(table, pool, rp):
@@ -355,6 +374,7 @@ def _integrate_rgbd_resident_multires(cfg: MapConfig, state: MapState,
             cap = _starve_band_cap(cfg, bptr.shape[0])
             hit, lo, hi = I.starve_band_hits(cfg, cam, bpos, bvalid, band, k)
             n_tot = jnp.sum(hit.astype(jnp.int32))
+            band_rows = cam.rows // k + cam.rows % k
 
             def banded(pool, rpool):
                 from mrhash_tpu.ops import hashtable as HT
@@ -362,7 +382,8 @@ def _integrate_rgbd_resident_multires(cfg: MapConfig, state: MapState,
                 s = jnp.where(selok, sel, 0)
                 bv = selok & bvalid[s]
                 starved = I.starve_mask(cfg, cam, bpos[s], bptr[s],
-                                        bres[s], bv, row_band=(lo, hi))
+                                        bres[s], bv, row_band=(lo, hi),
+                        band_rows=band_rows)
                 rpool = I.apply_starve(cfg, rpool, rptr_now[s], bres[s],
                                        bv & (eslot_now[s] >= 0), starved)
                 pool = I.apply_starve(cfg, pool, bptr[s], bres[s],
@@ -371,7 +392,8 @@ def _integrate_rgbd_resident_multires(cfg: MapConfig, state: MapState,
 
             def full_window(pool, rpool):
                 starved = I.starve_mask(cfg, cam, bpos, bptr, bres,
-                                        bvalid, row_band=(lo, hi))
+                                        bvalid, row_band=(lo, hi),
+                        band_rows=band_rows)
                 rpool = I.apply_starve(cfg, rpool, rptr_now, bres,
                                        svalid_res, starved)
                 pool = I.apply_starve(cfg, pool, bptr, bres, rem, starved)

@@ -165,6 +165,12 @@ class MapConfig:
     n_frames_invalidate_voxels: int = 0      # 0 = garbage collection off
     sdf_var_threshold: float = 0.0           # 0 = single-resolution
     min_weight_threshold: int = 1
+    # coarsen keeps the fine block's accumulated observations by
+    # downsample-merging them into the coarse block (the reference deletes
+    # the data and reintegrates the current frame only,
+    # voxel_data_structures.cu:1929-1939 — a recall loss whenever the
+    # camera has moved on; False restores reference semantics)
+    coarsen_downsample: bool = True
     marching_cubes_threshold: float = 1.5
     vertices_merging_threshold: float = 0.0
     projective_sdf: bool = True

@@ -464,19 +464,29 @@ def split_high_blocks(table: HashTable, n_split: int, enable=None):
 
 
 def compact_indices(mask, k: int):
-    """Positions of the first k set bits of `mask`, gather-formulated.
+    """Positions of the first k set bits of `mask`.
 
-    cumsum + searchsorted (k binary-search probes) instead of a scatter
-    whose source is the full mask length — on TPU a scatter costs ~60ms per
-    10M source updates even when most are dropped.
+    Two formulations, picked by the k/C ratio (both pay the TPU per-element
+    tax, ~6 ms per 1M indexed elements):
+    - small k: cumsum + searchsorted — k*log2(C) binary-search gathers;
+    - large k (k*log2(C) > C): cumsum + ONE dropped scatter of C sources
+      (rank >= k and unset lanes land out of bounds and drop).  At the
+      compacted-window scale (k ~ 45k over C ~ 1.3M) the searchsorted form
+      measured ~6 ms where the scatter form is ~2 ms.
 
     Returns (idx[k] int32 (=len(mask) padding), valid[k], total_count)."""
+    C = int(mask.shape[0])
     cs = jnp.cumsum(mask.astype(jnp.int32))
     total = cs[-1]
-    idx = jnp.searchsorted(cs, jnp.arange(1, k + 1, dtype=jnp.int32),
-                           side="left").astype(jnp.int32)
     valid = jnp.arange(k) < jnp.minimum(total, k)
-    idx = jnp.where(valid, idx, mask.shape[0])
+    if k * max(C.bit_length() - 1, 1) > C:
+        dest = jnp.where(mask, cs - 1, k)
+        idx = jnp.full((k,), C, jnp.int32).at[dest].set(
+            jnp.arange(C, dtype=jnp.int32), mode="drop")
+    else:
+        idx = jnp.searchsorted(cs, jnp.arange(1, k + 1, dtype=jnp.int32),
+                               side="left").astype(jnp.int32)
+        idx = jnp.where(valid, idx, C)
     return idx, valid, total
 
 

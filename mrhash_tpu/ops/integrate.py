@@ -1527,7 +1527,7 @@ def starve_band_select(cfg: MapConfig, cam: C.Camera, bpos, bvalid,
 
 
 def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid,
-                axis_name=None, row_band=None):
+                axis_name=None, row_band=None, band_rows=None):
     """Geometry half of starveVoxelsKernel: the [A,512] mask of front-most
     (per pixel) window voxels.  Reads no pool data — callers apply the
     weight decrement via apply_starve (possibly split across pools, as the
@@ -1543,7 +1543,12 @@ def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid,
     row_band=(lo, hi): banded starve — only voxels whose own pixel row is
     in [lo, hi) participate (as z-buffer sources AND as starve targets).
     A pixel's winner is exact as long as the window passed in contains
-    every block projecting into the band (starve_band_select)."""
+    every block projecting into the band (starve_band_select).
+
+    band_rows: static sub-image height covering every band (callers pass
+    H//n + H%n).  With it, the z-buffer and its sampler readback run on a
+    [band_rows, W] SUB-image at row offset lo — the full-image zbuf fill +
+    sampler pass cost ~23 ms/band at 1200x680 for rows that cannot win."""
     vvs = cfg.virtual_voxel_size
     prow, lane0 = _block_rows(bptr, bvalid)
     pi, lane_valid = _block_voxel_grid(bpos, bres, lane0)
@@ -1552,10 +1557,17 @@ def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid,
     row, col, ok = C.project_point(cam, pcam)
     depth = C.get_depth(cam, pcam)
     ok = ok & (depth >= cam.min_depth) & bvalid[:, None] & lane_valid
+    row0 = jnp.int32(0)
+    img_rows = cam.rows
     if row_band is not None:
         ok = ok & (row >= row_band[0]) & (row < row_band[1])
+        if band_rows is not None:
+            # z-buffer + sampler run on the band's sub-image
+            row0 = row_band[0]
+            img_rows = int(band_rows)
+            row = row - row0
 
-    HW = cam.rows * cam.cols
+    HW = img_rows * cam.cols
     FAR = jnp.float32(1e30)  # finite sentinel (INF through bf16 MXU is UB)
     pix = jnp.where(ok, row * cam.cols + col, HW).reshape(-1)
     d = jnp.where(ok, depth, FAR).reshape(-1)
@@ -1564,7 +1576,7 @@ def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid,
         zbuf = jax.lax.pmin(zbuf, axis_name)
 
     if cfg.sample_mode in ("patch", "pallas", "fused"):
-        zimg = zbuf.reshape(cam.rows, cam.cols)
+        zimg = zbuf.reshape(img_rows, cam.cols)
         scfg = dataclasses.replace(
             cfg, sample_mode="pallas" if cfg.sample_mode == "fused"
             else cfg.sample_mode)
@@ -1572,8 +1584,8 @@ def starve_mask(cfg: MapConfig, cam: C.Camera, bpos, bptr, bres, bvalid,
             vvs, X.sdf_block_to_virtual_voxel_pos(bpos)) + 3.5 * vvs
         cr, cc, _ = C.project_point_approx(cam,
                                            C.world_to_cam(cam, block_center))
-        center_rc = jnp.stack([cr, cc], axis=-1)
-        zeros_rgb = jnp.zeros((cam.rows, cam.cols, 3), jnp.uint8)
+        center_rc = jnp.stack([cr - row0, cc], axis=-1)
+        zeros_rgb = jnp.zeros((img_rows, cam.cols, 3), jnp.uint8)
         zsamp, _ = _sample_depth_rgb(scfg, zimg, zeros_rgb, row, col, ok,
                                      center_rc)
         starved = ok & (depth == zsamp)
@@ -1744,7 +1756,7 @@ def coarsen_decide(cfg: MapConfig, pool: VoxelPool, bptr, bres, bvalid):
 
 def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
                         slots, bpos, bptr, bres, bvalid, decide=None,
-                        u=None):
+                        u=None, pre_write_hook=None):
     """checkVarSDFKernel + reallocBlocks (voxel_data_structures.cu:
     1856-2069): res-0 blocks whose average SDF variance is below threshold
     are freed and re-allocated at res 1 (drawing from the low heap, refilled
@@ -1779,6 +1791,11 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     safe_sel = jnp.where(selok, sel, 0)
     table, ptrs_u, fres_u, freed_u = H.free_slots(table, slots[safe_sel],
                                                   selok)
+    if cfg.coarsen_downsample:
+        # snapshot the fine rows before the clear: the accumulated
+        # observations downsample-merge into the coarse block below
+        prow_f, _ = _block_rows(ptrs_u, freed_u)
+        fine = _gather_block_rows(pool, prow_f)
     pool = _clear_blocks(pool, ptrs_u, fres_u, freed_u)
 
     # queue re-allocation at res+1 (compaction preserves window order)
@@ -1795,7 +1812,80 @@ def coarsen_by_variance(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
                                 enable=table.low_count < need)
 
     table, info = H.insert(table, rkeys, rvalid, jnp.ones((u,), jnp.int32))
+    if pre_write_hook is not None:
+        # resident caller: flush sibling-resident carve rows BEFORE the
+        # downsample writes its window through the big pool (a later flush
+        # would overwrite the fresh window with the stale resident copy)
+        pool = pre_write_hook(table, pool, info)
+    if cfg.coarsen_downsample:
+        pool = _downsample_into_coarse(cfg, table, pool, fine,
+                                       info["slot"], rvalid & info["was_new"])
     return table, pool, info["slot"], info["was_new"], freed
+
+
+def _downsample_into_coarse(cfg: MapConfig, table: H.HashTable,
+                            pool: VoxelPool, fine, new_slots, new_mask):
+    """Merge a freed fine block's accumulated observations into its coarse
+    replacement: each coarse voxel takes the weight-sum / weighted-mean SDF
+    / weighted-mean color of its 8 children, with sumsq combined by the
+    parallel-variance formula (Chan), consistent with the integration
+    accumulator's half-virtual-voxel normalization (integrate_depth above).
+    TPU-first improvement over the reference, which deletes the data and
+    reintegrates only the current frame (voxel_data_structures.cu:
+    1929-2018) — the cause of the multi-res recall drop when the camera has
+    already moved past a coarsened region.  All arrays are u-sized; the
+    writeback is one row scatter-ADD of window-masked deltas (res-1 carve
+    rule of _scatter_block_rows)."""
+    u = new_slots.shape[0]
+    half_voxel = jnp.float32(cfg.virtual_voxel_size / 2.0)
+    # fine lane = z*64 + y*8 + x  ->  [u, cz,dz, cy,dy, cx,dx]
+    shape6 = (u, 4, 2, 4, 2, 4, 2)
+    wf = fine["weight"].astype(jnp.float32).reshape(shape6)
+    sd = fine["sdf"].reshape(shape6)
+    ssq = jnp.where(wf > 0, fine["sumsq"].reshape(shape6), 0.0)
+    rgb = unpack_rgb(fine["rgbp"], jnp.float32).reshape(shape6 + (3,))
+
+    w_c = jnp.sum(wf, axis=(2, 4, 6))                      # [u,4,4,4]
+    w_safe = jnp.maximum(w_c, 1.0)
+    m_c = jnp.sum(wf * sd, axis=(2, 4, 6)) / w_safe
+    dev = (sd - m_c[:, :, None, :, None, :, None]) / half_voxel
+    ssq_c = jnp.sum(ssq + wf * dev * dev, axis=(2, 4, 6))
+    rgb_c = (jnp.sum(wf[..., None] * rgb, axis=(2, 4, 6))
+             / w_safe[..., None])
+    occ = w_c > 0
+
+    # coarse lane = cz*16 + cy*4 + cx (reshape order matches)
+    def pack64(a, dtype):
+        return a.reshape(u, 64).astype(dtype)
+    c_sdf = pack64(jnp.where(occ, m_c, 0.0), jnp.float32)
+    c_ssq = pack64(jnp.where(occ, ssq_c, 0.0), jnp.float32)
+    c_w = pack64(jnp.minimum(w_c, cfg.integration_weight_max), jnp.int32)
+    c_rgb = pack64(pack_rgb(jnp.floor(rgb_c + 0.5).astype(jnp.int32)
+                            * occ[..., None].astype(jnp.int32)), jnp.int32)
+
+    safe_slot = jnp.where(new_mask, new_slots, 0)
+    new_ptr = table.ptr[safe_slot]
+    new_res = table.res[safe_slot]
+    prow_c, lane0_c = _block_rows(new_ptr, new_mask)
+    carve = lane0_c // P.TOTAL_LOW_BLOCK_SIZE                   # [u] 0..7
+    lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+    local = lanes - lane0_c[:, None]
+    in_win = (local >= 0) & (local < P.TOTAL_LOW_BLOCK_SIZE)
+
+    def place(c64):
+        # 8 static pad positions selected per-row (no per-element gather)
+        out = jnp.zeros((u, LANES), c64.dtype)
+        for i in range(8):
+            pad = jnp.pad(c64, ((0, 0), (i * 64, LANES - (i + 1) * 64)))
+            out = jnp.where((carve == i)[:, None], pad, out)
+        return out
+
+    new = dict(sdf=place(c_sdf), sumsq=place(c_ssq), weight=place(c_w),
+               rgbp=place(c_rgb))
+    old = _gather_block_rows(pool, prow_c)
+    return _scatter_block_rows(pool, prow_c, new_res, new_mask,
+                               in_win & new_mask[:, None], new, old,
+                               multires=True, lane0=lane0_c)
 
 
 def reintegrate_blocks(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,

@@ -285,8 +285,10 @@ def test_banded_starve_equals_one_shot():
         assert int(n_tot) <= cap
         s = jnp.where(selok, sel, 0)
         bv = selok & bvalid[s]
+        # band_rows: the sub-image z-buffer path the pipeline uses
         starved = I.starve_mask(cfg, cam, bpos[s], bptr[s], bres[s], bv,
-                                row_band=(lo, hi))
+                                row_band=(lo, hi),
+                                band_rows=ROWS // k + ROWS % k)
         pool_band = I.apply_starve(cfg, pool_band, bptr[s], bres[s], bv,
                                    starved)
 
@@ -361,3 +363,72 @@ def test_alloc_miss_tier_bit_equal_to_full():
     keys = jnp.asarray(np.asarray(t_tier.pos)[occ])
     hits = H.pcache_probe(t_tier, keys, jnp.ones((keys.shape[0],), bool))
     assert int(hits.sum()) >= 0.8 * keys.shape[0]
+
+
+def test_coarsen_downsample_preserves_observations():
+    """Variance coarsening with coarsen_downsample=True carries the fine
+    block's accumulated observations into the coarse block (weight-sum /
+    weighted-mean merge, _downsample_into_coarse); with False it restores
+    the reference's delete+reintegrate-current-frame semantics
+    (voxel_data_structures.cu:1929-2018), whose coarse voxels restart at
+    weight == integration_weight_sample."""
+    import dataclasses as _dc
+
+    cam = small_cam()
+    rgb = jnp.full((ROWS, COLS, 3), 90, jnp.uint8)
+
+    def noisy_depth(seed):
+        n = np.random.default_rng(seed).normal(0, 0.004, (ROWS, COLS))
+        return jnp.asarray(2.0 + n, jnp.float32)
+
+    # accumulate 6 frames single-res (sumsq still accumulates)
+    cfg0 = small_cfg(sdf_var_threshold=0.0)
+    state = make_state(cfg0.num_blocks)
+    for f in range(6):
+        state, _ = pipeline.integrate_rgbd(cfg0, state, cam,
+                                           noisy_depth(f), rgb)
+
+    # the coarse voxel containing the wall point and its 8 fine children
+    vvs = cfg0.virtual_voxel_size
+    pw = jnp.asarray([[0.025, 0.025, 2.025]], jnp.float32)
+    pi = np.asarray(X.world_point_to_virtual_voxel_pos(vvs, pw))[0]
+    blk = X.virtual_voxel_pos_to_sdf_block(
+        jnp.asarray(pi)[None], vvs, jnp.asarray(cfg0.voxel_extents,
+                                                jnp.float32))
+    found, _, ptr0, res0 = H.lookup(state.table, blk)
+    assert bool(found[0]) and int(res0[0]) == 0
+    local_f = pi % P.SDF_BLOCK_SIZE
+    cx, cy, cz = (int(v) // 2 for v in local_f)
+    w_flat = np.asarray(state.pool.weight).reshape(-1)
+    sdf_flat = np.asarray(state.pool.sdf).reshape(-1)
+    child_lanes = np.asarray(
+        [(2 * cz + dz) * 64 + (2 * cy + dy) * 8 + (2 * cx + dx)
+         for dz in range(2) for dy in range(2) for dx in range(2)])
+    cw = w_flat[int(ptr0[0]) + child_lanes]
+    csdf = sdf_flat[int(ptr0[0]) + child_lanes]
+    assert (cw >= 6).all(), "children under-observed; fixture broken"
+    mean_down = float((cw * csdf).sum() / cw.sum())
+
+    results = {}
+    for ds in (True, False):
+        cfg1 = small_cfg(sdf_var_threshold=0.5, coarsen_downsample=ds)
+        st1, _ = pipeline.integrate_rgbd(cfg1, state, cam,
+                                         noisy_depth(99), rgb)
+        found1, _, ptr1, res1 = H.lookup(st1.table, blk)
+        assert bool(found1[0]) and int(res1[0]) == 1, \
+            "wall block did not coarsen; fixture broken"
+        lane_c = cz * 16 + cy * 4 + cx
+        vidx = int(ptr1[0]) + lane_c
+        results[ds] = (
+            int(np.asarray(st1.pool.weight).reshape(-1)[vidx]),
+            float(np.asarray(st1.pool.sdf).reshape(-1)[vidx]))
+
+    w_ds, sdf_ds = results[True]
+    w_ref, _ = results[False]
+    # downsample: merged weight = sum of children (+1 if the reintegrate
+    # sample landed inside truncation); reference semantics: restart at <= 2
+    assert w_ds >= int(cw.sum()), (w_ds, int(cw.sum()))
+    assert w_ref <= 2, w_ref
+    # merged sdf stays near the children's weighted mean (one extra sample
+    # can shift it by at most trunc / (w+1))
+    assert abs(sdf_ds - mean_down) < cfg0.sdf_truncation / cw.sum() + 1e-4

@@ -47,6 +47,9 @@ def main():
                     gs_optimization_param_path="",
                     num_blocks=1 << 19, max_active_blocks=1 << 17,
                     max_alloc_per_frame=1 << 13)
+    # bench-scale bucket sizing (occupancy <= ~45k): the O(capacity)
+    # frustum compact dominates at the GeoWrapper default buckets=blocks
+    gw.setHashNumBuckets(1 << 15)
     gw.setCamera(600.0, 600.0, 599.5, 339.5, rows, cols, 0.01, 30.0)
 
     rng = np.random.default_rng(0)

@@ -39,7 +39,7 @@ def main():
         sdf_truncation_scale=0.0, integration_weight_sample=1,
         max_integration_distance=30.0, n_frames_invalidate_voxels=100,
         sdf_var_threshold=1.0,
-        num_blocks=1 << 19, max_active_blocks=1 << 17, num_buckets=1 << 17,
+        num_blocks=1 << 19, max_active_blocks=1 << 17, num_buckets=1 << 15,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode,
         alloc_tile=4)
     cam0 = C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,

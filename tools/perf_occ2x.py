@@ -32,7 +32,7 @@ def build_cfg(jax):
         virtual_voxel_size=0.01, sdf_truncation=0.07,
         sdf_truncation_scale=0.0, integration_weight_sample=1,
         max_integration_distance=30.0, n_frames_invalidate_voxels=100,
-        num_blocks=1 << 19, max_active_blocks=1 << 17, num_buckets=1 << 17,
+        num_blocks=1 << 19, max_active_blocks=1 << 17, num_buckets=1 << 15,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode, alloc_tile=4,
         starve_bands=8,
         resident_rows=(1 << 17) if sample_mode == "fused" else 0)
@@ -139,8 +139,8 @@ def load(jax):
         heap_low=jnp.asarray(z["heap_low"]),
         high_count=jnp.asarray(z["high_count"]),
         low_count=jnp.asarray(z["low_count"]),
-        pck=jnp.zeros((H.PC_FACTOR << 17, 3), jnp.int32),
-        num_buckets=1 << 17, num_blocks=1 << 19)
+        pck=jnp.zeros((H.PC_FACTOR << 15, 3), jnp.int32),
+        num_buckets=1 << 15, num_blocks=1 << 19)
     table = H.rebuild_pcache(table)
     n_rows = 1 << 19
 

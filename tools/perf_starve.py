@@ -53,7 +53,7 @@ def main():
         virtual_voxel_size=0.01, sdf_truncation=0.07,
         sdf_truncation_scale=0.0, integration_weight_sample=1,
         max_integration_distance=30.0, n_frames_invalidate_voxels=100,
-        num_blocks=1 << 19, max_active_blocks=1 << 17, num_buckets=1 << 17,
+        num_blocks=1 << 19, max_active_blocks=1 << 17, num_buckets=1 << 15,
         max_alloc_per_frame=1 << 13, sample_mode=sample_mode, alloc_tile=4,
         starve_bands=8,
         resident_rows=(1 << 17) if sample_mode == "fused" else 0)

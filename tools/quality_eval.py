@@ -262,6 +262,10 @@ def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
                     gs_optimization_param_path="", num_blocks=num_blocks,
                     sdf_var_threshold=var_threshold if multires else 0.0,
                     min_weight_threshold=min_weight)
+    if res == "replica":
+        # bench-scale bucket sizing (occupancy <= ~60k; the O(capacity)
+        # frustum compact dominates at the default buckets=blocks)
+        gw.setHashNumBuckets(1 << 15)
     gw.setCamera(fx, fx, cols / 2 - 0.5, rows / 2 - 0.5, rows, cols,
                  0.01, 30.0)
 
