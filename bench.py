@@ -109,15 +109,22 @@ def main():
     # timed frames (an occupied count == bucket means active blocks were
     # silently skipped — a dishonest speedup)
     step = pipeline.jit_integrate_rgbd(cfg)
-    occ_max = 0
+    occ_max = occt_max = 0
     for i in range(n_warmup):
         state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
         occ_max = max(occ_max, int(stats["occupied_blocks"]))
+        occt_max = max(occt_max, int(stats["occupied_total"]))
     occ = int(stats["occupied_blocks"])
     # window sized to the max in-frustum occupancy seen over the revolution
     bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
-    cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
+    # two-stage compact: frustum math over the occupied bucket, not the
+    # full hash capacity
+    from mrhash_tpu import params as MP
+    ob = min(max(-(-int(occt_max * 1.25) // 4096) * 4096, bucket),
+             (cfg.num_buckets or cfg.num_blocks) * MP.HASH_BUCKET_SIZE)
+    cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                  occupied_bucket=ob)
     if cfg.resident_rows:
         # the bucket just shrank from the warmup window: resident slots may
         # sit past the new kernel range, so restart residency and let the

@@ -18,6 +18,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from mrhash_tpu import params as P
 from mrhash_tpu.core import resident as R
 from mrhash_tpu.core.state import MapConfig, MapState
 from mrhash_tpu.ops import camera as C
@@ -85,6 +86,10 @@ def _starve_fire(cfg: MapConfig, frame):
 
 def _stats(state: MapState, count, unserved=None, extra=None):
     d = dict(occupied_blocks=count,
+             # total occupied slots (not frustum-limited): feeds the
+             # occupied_bucket ladder (I.compact_active two-stage scan)
+             occupied_total=jnp.sum(
+                 (state.table.ptr != P.FREE_ENTRY).astype(jnp.int32)),
              high_free=state.table.high_count,
              low_free=state.table.low_count,
              frame=state.frame,

@@ -179,6 +179,13 @@ class MapConfig:
     num_blocks: int = 1 << 17
     num_buckets: int = 0                     # 0 -> num_blocks
     max_active_blocks: int = 1 << 16         # compacted block window
+    occupied_bucket: int = 0                 # >0: two-stage compact_active —
+                                             # occupancy compaction over C,
+                                             # then frustum math over the
+                                             # first `occupied_bucket`
+                                             # occupied slots only (GeoWrapper
+                                             # ladders this from total
+                                             # occupancy; 0 = single stage)
     max_alloc_per_frame: int = 1 << 14       # unique new blocks per frame
     dedup_scratch_factor: int = 16           # scratch cells per alloc slot
     alloc_rounds: int = 1                    # salted dedup+insert passes

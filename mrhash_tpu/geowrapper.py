@@ -358,7 +358,23 @@ class GeoWrapper:
                 self._drop_resident()
             self._plain = plain
         self._bucket = bucket
+
+        # occupied-bucket ladder (two-stage compact_active): total occupancy
+        # with 1.3 up-headroom, never below the window bucket, hysteretic
+        # like the window ladder.  Overflow staggers (slot-order prefix)
+        # until the next frame's ladder catches up — same protocol as
+        # window-capacity overflow.
+        occ_t = max(getattr(self, "_last_occupied_total", 0), occ)
+        ob = max(-(-int(occ_t * 1.3) // 4096) * 4096, bucket)
+        prev_ob = getattr(self, "_obucket", 0)
+        if prev_ob and ob < prev_ob and occ_t * 1.3 > prev_ob * 0.6:
+            ob = prev_ob
+        cap = (self.cfg.num_buckets or self.cfg.num_blocks) \
+            * P.HASH_BUCKET_SIZE
+        ob = min(ob, cap)
+        self._obucket = ob
         return dataclasses.replace(self.cfg, max_active_blocks=bucket,
+                                   occupied_bucket=ob,
                                    resident_plain_rows=plain)
 
     # ---- bucket-ladder AOT compilation (kills recompile churn) ------------
@@ -368,7 +384,7 @@ class GeoWrapper:
     # _aot_cache, and a single background thread compiles the NEXT bucket as
     # soon as occupancy approaches the current one (VERDICT r1 weak #6).
     def _compile_step(self, cfg, kind, args):
-        key = (kind, cfg.max_active_blocks,
+        key = (kind, cfg.max_active_blocks, cfg.occupied_bucket,
                tuple(jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)),
                                   jax.tree.leaves(args))))
         with self._aot_lock:
@@ -385,12 +401,24 @@ class GeoWrapper:
 
     def _maybe_prewarm(self, cfg, kind, args):
         occ = getattr(self, "_last_occupied", 0)
+        occ_t = max(getattr(self, "_last_occupied_total", 0), occ)
         bucket = cfg.max_active_blocks
+        ob = cfg.occupied_bucket
         nxt = min(bucket + 4096, self.cfg.max_active_blocks)
-        if nxt == bucket or occ * 1.5 <= bucket * 0.8:
+        cap = (self.cfg.num_buckets or self.cfg.num_blocks) \
+            * P.HASH_BUCKET_SIZE
+        grow_w = nxt != bucket and occ * 1.5 > bucket * 0.8
+        # occupied ladder approaching its bucket: prewarm its next step too
+        nxt_ob = min(ob + 4096, cap) if ob else 0
+        grow_o = ob and nxt_ob != ob and occ_t * 1.3 > ob * 0.8
+        if not (grow_w or grow_o):
             return
-        ncfg = dataclasses.replace(cfg, max_active_blocks=nxt)
-        tag = (kind, nxt)
+        ncfg = dataclasses.replace(
+            cfg,
+            max_active_blocks=nxt if grow_w else bucket,
+            occupied_bucket=max(nxt_ob if grow_o else ob,
+                                nxt if grow_w else bucket))
+        tag = (kind, ncfg.max_active_blocks, ncfg.occupied_bucket)
         if tag in self._prewarm_pending:
             return
         self._prewarm_pending.add(tag)
@@ -463,6 +491,8 @@ class GeoWrapper:
             self._maybe_prewarm(cfg, kind, args)
             occupied = int(stats["occupied_blocks"])
             self._last_occupied = occupied
+            if "occupied_total" in stats:
+                self._last_occupied_total = int(stats["occupied_total"])
             self._high_free = int(stats["high_free"])
             if "res0_demand" in stats:
                 self._last_res0_demand = int(stats["res0_demand"])

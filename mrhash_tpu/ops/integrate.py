@@ -373,12 +373,43 @@ def alloc_blocks(cfg: MapConfig, table: H.HashTable, keys, valid, frame):
 def compact_active(cfg: MapConfig, table: H.HashTable, cam: C.Camera = None):
     """flatAndReduceHashTable (voxel_data_structures.cu:405-499).
 
+    With cfg.occupied_bucket = B > 0, the scan is TWO-stage: a cheap
+    occupancy compaction over the full capacity C (one boolean cumsum +
+    dropped scatter — no geometry math) narrows to the first B occupied
+    slots, and the 8-corner frustum projection + window compaction run on
+    those B entries only.  At Replica-x2 occupancy (occ 41k, C 450k) the
+    single-stage frustum-over-capacity pass was ~7 ms of the 27 ms frame;
+    two-stage costs ~C cumsum + B projection.  B rides the GeoWrapper
+    occupancy ladder (occ * 1.3 headroom): if occupancy ever exceeds B,
+    the overflow blocks stagger (slot-order prefix) until the ladder
+    grows, exactly like window-capacity overflow.
+
     Returns (slots[A], count, bpos[A,3], bptr[A], bres[A], bvalid[A])."""
-    extra = None
-    if cam is not None:
-        extra = blocks_in_frustum_approx(cam, table.pos,
-                                         cfg.virtual_voxel_size)
-    slots, count = H.compact(table, extra, cfg.max_active_blocks)
+    B = int(cfg.occupied_bucket)
+    A = int(cfg.max_active_blocks)
+    if 0 < B < table.capacity:
+        occ = table.ptr != P.FREE_ENTRY
+        oidx, ovalid, ototal = H.compact_indices(occ, B)
+        if cam is None and B >= A:
+            # no frustum filter: the occupancy compaction IS the window
+            slots = jnp.where(ovalid[:A], oidx[:A], -1)
+            count = jnp.minimum(ototal, A)
+        else:
+            safe_o = jnp.where(ovalid, oidx, 0)
+            pos_o = table.pos[safe_o]
+            mask = ovalid
+            if cam is not None:
+                mask = mask & blocks_in_frustum_approx(
+                    cam, pos_o, cfg.virtual_voxel_size)
+            idx2, v2, tot2 = H.compact_indices(mask, A)
+            slots = jnp.where(v2, oidx[jnp.where(v2, idx2, 0)], -1)
+            count = jnp.minimum(tot2, A)
+    else:
+        extra = None
+        if cam is not None:
+            extra = blocks_in_frustum_approx(cam, table.pos,
+                                             cfg.virtual_voxel_size)
+        slots, count = H.compact(table, extra, cfg.max_active_blocks)
     bvalid = slots >= 0
     safe = jnp.where(bvalid, slots, 0)
     return slots, count, table.pos[safe], table.ptr[safe], table.res[safe], bvalid

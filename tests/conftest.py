@@ -29,6 +29,13 @@ import gc  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "fast: quick CPU subset (<5 min total; run with `pytest -m fast`) "
+        "— the pre-commit smoke gate; the full suite stays the merge gate")
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_compiler_state():
     """Suite hermeticity: drop every cached compiled executable between

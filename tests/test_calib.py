@@ -22,6 +22,9 @@ P_rect_00 7.188560e+02 0.000000e+00 6.071928e+02 0.000000e+00 0.000000e+00 7.188
 """
 
 
+pytestmark = pytest.mark.fast
+
+
 @pytest.fixture
 def calib_yaml(tmp_path):
     p = tmp_path / "calib.yaml"

@@ -5,6 +5,11 @@ import numpy as np
 from mrhash_tpu.ops import camera as C
 
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
+
 def make_pinhole():
     return C.make_camera(fx=600.0, fy=600.0, cx=599.5, cy=339.5,
                          rows=680, cols=1200, min_depth=0.01, max_depth=30.0)

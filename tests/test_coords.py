@@ -10,6 +10,9 @@ VVS = 0.05
 EXTENTS = jnp.ones(3, jnp.float32)
 
 
+pytestmark = pytest.mark.fast
+
+
 def rand_points(n, scale=50.0, seed=0):
     rng = np.random.default_rng(seed)
     return jnp.asarray(rng.uniform(-scale, scale, size=(n, 3)), jnp.float32)

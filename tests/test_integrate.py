@@ -365,6 +365,33 @@ def test_alloc_miss_tier_bit_equal_to_full():
     assert int(hits.sum()) >= 0.8 * keys.shape[0]
 
 
+def test_two_stage_compact_matches_single_stage():
+    """compact_active with occupied_bucket = B (two-stage: occupancy
+    compaction over capacity, then frustum math over the first B occupied
+    slots) must produce the identical window as the single-stage scan, with
+    and without a frustum camera, as long as B covers the occupancy."""
+    import dataclasses as _dc
+
+    cam = small_cam()
+    depth = jnp.full((ROWS, COLS), 2.0, jnp.float32)
+    rgb = jnp.zeros((ROWS, COLS, 3), jnp.uint8)
+    cfg = small_cfg()
+    state = make_state(cfg.num_blocks)
+    for _ in range(2):
+        state, stats = pipeline.integrate_rgbd(cfg, state, cam, depth, rgb)
+    occ_t = int(stats["occupied_total"])
+    assert occ_t > 0
+
+    for cam_arg in (cam, None):
+        ref = I.compact_active(cfg, state.table, cam_arg)
+        for B in (occ_t + 7, 2 * occ_t, cfg.num_blocks * 10):
+            cfg2 = _dc.replace(cfg, occupied_bucket=B)
+            got = I.compact_active(cfg2, state.table, cam_arg)
+            for a, b in zip(ref, got):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), \
+                    (cam_arg is None, B)
+
+
 def test_coarsen_downsample_preserves_observations():
     """Variance coarsening with coarsen_downsample=True carries the fine
     block's accumulated observations into the coarse block (weight-sum /

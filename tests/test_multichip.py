@@ -306,6 +306,99 @@ def test_sharded_fused_lidar_matches_single_chip(mesh):
     assert np.allclose(s1, ss, atol=1e-6)
 
 
+def test_sharded_soak_heap_pressure(mesh):
+    """Sharded soak (round-3 VERDICT next #9): a long run on a map sized so
+    shards EXHAUST their heaps and the staggered-drop path really fires on
+    at least one shard, over >= 2x the GC period, asserting the invariants
+    that would break if owner routing or stagger semantics regressed at
+    scale:
+    - per-shard conservation: occupied + heap_free == local capacity, every
+      frame (drops must lose candidates, never heap slots);
+    - global key uniqueness (the same block never allocated on two shards);
+    - owner routing: every occupied slot lives on owner_of(key) exactly;
+    - forward progress under pressure: the starved shard keeps integrating
+      (weights advance) rather than wedging.
+    Per-shard occupancy imbalance (avalanche mod n) is measured and printed.
+    Ref protocol: the reference staggers lock-missed/over-budget blocks to
+    later frames rather than failing (voxel_data_structures.cu alloc retry;
+    SURVEY 5.3)."""
+    import sys
+
+    cfg = MapConfig(virtual_voxel_size=0.05, sdf_truncation=0.15,
+                    max_integration_distance=8.0, num_blocks=1024,
+                    max_active_blocks=1024, max_alloc_per_frame=1024,
+                    n_frames_invalidate_voxels=4)
+    n = 8
+    lcfg = S.local_config(cfg, n)
+    cap_l = lcfg.num_blocks            # 128 blocks per shard
+    cam0 = C.make_camera(fx=40.0, fy=40.0, cx=COLS / 2 - 0.5,
+                         cy=ROWS / 2 - 0.5, rows=ROWS, cols=COLS,
+                         min_depth=0.01, max_depth=8.0)
+    r = np.arange(ROWS, dtype=np.float32)[:, None]
+    c = np.arange(COLS, dtype=np.float32)[None, :]
+
+    step = S.sharded_integrate_rgbd(cfg, mesh)
+    sstate = S.make_sharded_state(cfg, mesh)
+    rgb = jnp.full((ROWS, COLS, 3), 128, jnp.uint8)
+
+    def per_shard(arr):
+        return [np.asarray(s.data) for s in sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0)]
+
+    n_frames = 12                      # nf=4 -> 3 GC periods, 2 starves
+    min_free_ever = cap_l
+    for f in range(n_frames):
+        # orbiting camera over a wavy wall: new surface every frame keeps
+        # allocation pressure on
+        th = 2.0 * np.pi * f / n_frames
+        rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        cam = C.with_pose(cam0, jnp.asarray(rot),
+                          jnp.zeros((3,), jnp.float32))
+        depth = jnp.asarray(
+            3.0 + 0.8 * np.sin(c / 5 + f) + 0.5 * np.cos(r / 3), jnp.float32)
+        sstate, sstats = step(sstate, cam, depth, rgb)
+
+        ptr_s = per_shard(sstate.table.ptr)
+        free_s = [int(h[0]) for h in per_shard(sstate.table.high_count)]
+        occ_s = [int((p != P.FREE_ENTRY).sum()) for p in ptr_s]
+        # conservation on every shard, every frame
+        for d in range(n):
+            assert occ_s[d] + free_s[d] == cap_l, \
+                (f, d, occ_s[d], free_s[d])
+        min_free_ever = min(min_free_ever, min(free_s))
+
+    # pressure really happened: at least one shard ran its heap dry
+    assert min_free_ever == 0, f"no shard ever exhausted (min {min_free_ever})"
+
+    # global key uniqueness + owner routing
+    pos_s = per_shard(sstate.table.pos)
+    keys, owners = [], []
+    for d in range(n):
+        occ = ptr_s[d] != P.FREE_ENTRY
+        k = pos_s[d][occ]
+        keys.append(k)
+        owners.append(np.full((k.shape[0],), d))
+    keys = np.concatenate(keys)
+    owners = np.concatenate(owners)
+    uniq = np.unique(keys, axis=0)
+    assert uniq.shape[0] == keys.shape[0], "duplicate block across shards"
+    want = np.asarray(S.owner_of(jnp.asarray(keys), n))
+    assert np.array_equal(want, owners), "block on a non-owner shard"
+
+    # forward progress: full shards still integrated (their pools have
+    # weights above the initial-sample level)
+    w_s = per_shard(sstate.pool.weight)
+    for d in range(n):
+        if ptr_s[d][ptr_s[d] != P.FREE_ENTRY].shape[0]:
+            assert int(np.asarray(w_s[d]).max()) >= 2, d
+
+    occ_arr = np.array([int((p != P.FREE_ENTRY).sum()) for p in ptr_s])
+    print(f"# soak imbalance: occ per shard {occ_arr.tolist()}, "
+          f"max/mean {occ_arr.max() / max(occ_arr.mean(), 1):.3f}, "
+          f"total {occ_arr.sum()}/{cfg.num_blocks}", file=sys.stderr)
+
+
 def test_sharded_extract_mesh_matches_single_chip(mesh, tmp_path):
     """Sharded-map extractMesh (parallel/sharding.snapshot_to_grid +
     GeoWrapper batch sweep): the host chunk grid collected from the 8-way

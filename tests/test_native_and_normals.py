@@ -7,6 +7,9 @@ from mrhash_tpu.core import mesh_post
 from mrhash_tpu.ops.normals import estimate_normals
 
 
+pytestmark = pytest.mark.fast
+
+
 def test_native_dedup_matches_numpy():
     rng = np.random.default_rng(0)
     v = rng.random((500, 3))

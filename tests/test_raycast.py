@@ -10,6 +10,11 @@ from mrhash_tpu.ops import raycast as R
 ROWS, COLS = 24, 32
 
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
+
 def test_raycast_wall_depth():
     cfg = MapConfig(virtual_voxel_size=0.05, sdf_truncation=0.15,
                     max_integration_distance=5.0, num_blocks=4096,

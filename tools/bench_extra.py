@@ -21,6 +21,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+def _ob(cfg, occt_max, bucket):
+    """occupied_bucket for the two-stage compact_active: total occupancy
+    with headroom, at least the window bucket, at most the hash capacity."""
+    from mrhash_tpu import params as MP
+    return min(max(-(-int(occt_max * 1.25) // 4096) * 4096, bucket),
+               (cfg.num_buckets or cfg.num_blocks) * MP.HASH_BUCKET_SIZE)
+
+
 BASE_MULTIRES_FPS = 26.0   # Replica multi-res, docs/index.html runtime table
 BASE_LIDAR_FPS = 21.6      # Newer College single-res, same table
 BASE_LIDAR_MR_FPS = 35.25  # Newer College multi-res, same table
@@ -68,11 +76,12 @@ def bench_multires():
               for i in range(orbit)]
 
     step = pipeline.jit_integrate_rgbd(cfg)
-    occ_max = 0
+    occ_max = occt_max = 0
     res0_max = 0
     for i in range(n_warmup):
         state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
         occ_max = max(occ_max, int(stats["occupied_blocks"]))
+        occt_max = max(occt_max, int(stats["occupied_total"]))
         res0_max = max(res0_max, int(stats.get("res0_blocks", 0)))
     bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
@@ -87,13 +96,17 @@ def bench_multires():
                          cfg.max_active_blocks)
         plain = min(plain, bucket - 4096)
         cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                      occupied_bucket=_ob(cfg, occt_max,
+                                                          bucket),
                                       resident_rows=bucket,
                                       resident_plain_rows=plain,
                                       resident_churn=1 << 11)
         from mrhash_tpu.core.state import make_resident
         state = state.replace(resident=make_resident(cfg.num_blocks, bucket))
     else:
-        cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
+        cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                      occupied_bucket=_ob(cfg, occt_max,
+                                                          bucket))
     step = pipeline.jit_integrate_rgbd(cfg_run)
     # one settling orbit: residency adoption churn drains, coarsening
     # converges under the final bucket
@@ -177,19 +190,22 @@ def bench_scannet(multires=False):
               for i in range(orbit)]
 
     step = pipeline.jit_integrate_rgbd(cfg)
-    occ_max = 0
+    occ_max = occt_max = 0
     res0_max = 0
     for i in range(n_warmup):
         state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
         occ_max = max(occ_max, int(stats["occupied_blocks"]))
+        occt_max = max(occt_max, int(stats["occupied_total"]))
         res0_max = max(res0_max, int(stats.get("res0_blocks", 0)))
     # finer 2048-granular bucket than bench.py's 4096: nearly every frame
     # cost scales with the window, and the prewarm ladder absorbs the extra
     # recompile points in production
     bucket = max(-(-int(occ_max * 1.15) // 2048) * 2048, 2048)
     bucket = min(bucket, cfg.max_active_blocks)
+    ob = _ob(cfg, occt_max, bucket)
     if sample_mode == "fused" and not multires:
         cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                      occupied_bucket=ob,
                                       resident_rows=bucket)
         state = state.replace(resident=make_resident(cfg.num_blocks, bucket))
     elif sample_mode == "fused" and multires:
@@ -200,12 +216,14 @@ def bench_scannet(multires=False):
                          cfg.max_active_blocks)
         plain = min(plain, bucket - 2048)
         cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                      occupied_bucket=ob,
                                       resident_rows=bucket,
                                       resident_plain_rows=plain,
                                       resident_churn=1 << 10)
         state = state.replace(resident=make_resident(cfg.num_blocks, bucket))
     else:
-        cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
+        cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                      occupied_bucket=ob)
     step = pipeline.jit_integrate_rgbd(cfg_run)
     for i in range(n_warmup, 2 * n_warmup):
         state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
@@ -302,18 +320,21 @@ def bench_lidar(multires=False):
 
     step = pipeline.jit_integrate_points(cfg)
     valid = jnp.ones((n_pts,), bool)
-    occ_max = 0
+    occ_max = occt_max = 0
     for i in range(n_warmup):
         rot, t = frame_pose(i)
         pcam = C.with_pose(cam, jnp.asarray(rot), jnp.asarray(t))
         state, stats = step(state, pcam, clouds[i], normals, weights, valid)
         occ_max = max(occ_max, int(stats["occupied_blocks"]))
+        occt_max = max(occt_max, int(stats["occupied_total"]))
     jax.block_until_ready(state)
     # occupancy-fitted compacted window, like the rgbd benches (the LiDAR
     # map grows ~linearly with travel; 1.8x headroom covers the timed run)
     bucket = max(-(-int(occ_max * 1.8) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
-    cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
+    cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                  occupied_bucket=_ob(cfg, occt_max * 1.5,
+                                                      bucket))
     step = pipeline.jit_integrate_points(cfg_run)
     # warm the refit program (compile) before the timed frames
     rot, t = frame_pose(n_warmup)
@@ -392,14 +413,16 @@ def bench_occsweep():
               for i in range(orbit)]
 
     step = pipeline.jit_integrate_rgbd(cfg)
-    occ_max = 0
+    occ_max = occt_max = 0
     for i in range(n_warmup):
         state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
         occ_max = max(occ_max, int(stats["occupied_blocks"]))
+        occt_max = max(occt_max, int(stats["occupied_total"]))
     bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
     cfg_run = dataclasses.replace(
         cfg, max_active_blocks=bucket,
+        occupied_bucket=_ob(cfg, occt_max, bucket),
         resident_rows=bucket if cfg.resident_rows else 0)
     if cfg.resident_rows:
         state = state.replace(resident=make_resident(cfg.num_blocks, bucket))

@@ -57,8 +57,11 @@ def run_cfg_for(jax, occ_max):
     cfg = build_cfg(jax)
     bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
+    from mrhash_tpu import params as MP
+    ob = min(max(-(-int(occ_max * 1.35) // 4096) * 4096, bucket),
+             (cfg.num_buckets or cfg.num_blocks) * MP.HASH_BUCKET_SIZE)
     return dataclasses.replace(
-        cfg, max_active_blocks=bucket,
+        cfg, max_active_blocks=bucket, occupied_bucket=ob,
         resident_rows=bucket if cfg.resident_rows else 0)
 
 

@@ -77,13 +77,18 @@ def main():
 
     # warmup revolution at full window, then bucket refit — exactly bench.py
     step = pipeline.jit_integrate_rgbd(cfg)
-    occ_max = 0
+    occ_max = occt_max = 0
     for i in range(orbit):
         state, stats = step(state, frame_cam(i), depths[i % orbit], rgb)
         occ_max = max(occ_max, int(stats["occupied_blocks"]))
+        occt_max = max(occt_max, int(stats["occupied_total"]))
     bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
-    cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket)
+    from mrhash_tpu import params as MP
+    ob = min(max(-(-int(occt_max * 1.25) // 4096) * 4096, bucket),
+             (cfg.num_buckets or cfg.num_blocks) * MP.HASH_BUCKET_SIZE)
+    cfg_run = dataclasses.replace(cfg, max_active_blocks=bucket,
+                                  occupied_bucket=ob)
     if cfg.resident_rows:
         state = state.replace(
             resident=make_resident(cfg.num_blocks, cfg.resident_rows))
