@@ -518,9 +518,10 @@ class GeoWrapper:
 
     @functools.lru_cache(maxsize=4)
     def _jit_batch(self, max_cells, max_triangles):
-        def fn(table, pool, pf, gate, off):
+        def fn(table, pool, pf, gate, off, ring, bpos):
             return M.extract_cell_batch(self.cfg, table, pool, pf, gate,
-                                        off, max_cells, max_triangles)
+                                        off, max_cells, max_triangles,
+                                        ring=ring, bpos=bpos)
         return jax.jit(fn)
 
     def _extract_resident(self, max_cells=1 << 16, max_triangles=1 << 18,
@@ -548,7 +549,7 @@ class GeoWrapper:
             if off >= count:
                 break
             sl = slice(off, off + chunk)
-            pf, gate, total = self._jit_gate()(
+            pf, gate, total, ring = self._jit_gate()(
                 state.table, state.pool, bpos[sl], bptr[sl], bres[sl],
                 bvalid[sl])
             total = int(total)
@@ -557,7 +558,8 @@ class GeoWrapper:
             for coff in range(0, total, max_cells):
                 tri_pos, tri_col, n = self._jit_batch(
                     max_cells, max_triangles)(
-                    state.table, state.pool, pf, gate, jnp.int32(coff))
+                    state.table, state.pool, pf, gate, jnp.int32(coff),
+                    ring, bpos[sl])
                 n = int(n)
                 if n:
                     pos_parts.append(np.asarray(tri_pos[:n]))

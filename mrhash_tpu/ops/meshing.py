@@ -34,21 +34,69 @@ _CORNER = jnp.asarray(
     jnp.float32)
 
 
-def get_voxel(cfg: MapConfig, table: H.HashTable, pool: VoxelPool, pos):
+# 27-neighborhood offsets, index = (dz+1)*9 + (dy+1)*3 + (dx+1)
+_OFF27 = jnp.asarray([[dx, dy, dz]
+                      for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+                      for dx in (-1, 0, 1)], jnp.int32)
+
+
+def build_ring(cfg: MapConfig, table: H.HashTable, bpos, bvalid):
+    """27-neighbor lookup cache for a block window: resolves (found, ptr,
+    res) of every window block's 1-ring ONCE, so the extraction phases
+    answer point->block lookups with index arithmetic + one gather instead
+    of a probe-window scan per point.
+
+    TPU rationale: the mesh sweep's hot cost is point lookups (~158 per
+    cell through gate + trilinear + corner reads, each a ~17-gather
+    fingerprint probe); every probed point of a cell lies within +-6 fine
+    voxels of its block (< the 8-voxel block side), so the 27-ring bounds
+    every lookup the sweep can make.  Ring build cost is 27*A probed keys
+    per window, once.
+
+    Returns dict(found[A*27], ptr[A*27], res[A*27])."""
+    keys = (bpos[:, None, :] + _OFF27[None, :, :]).reshape(-1, 3)
+    found, _, ptr, res = H.lookup(table, keys,
+                                  valid=jnp.repeat(bvalid, _OFF27.shape[0]))
+    return dict(found=found, ptr=ptr, res=res)
+
+
+def _ring_resolve(ctx, blk):
+    """(found, ptr, res) of block keys `blk` [...,3] through the ring cache.
+    ctx = (ring, bpos_window[A,3], cell_blk[...]) where cell_blk is the
+    window row owning each query point (broadcastable to blk.shape[:-1]).
+    Keys beyond the 1-ring resolve to found=False (geometrically impossible
+    for the mesh sweep's probes — see build_ring)."""
+    ring, bposw, cell_blk = ctx
+    rel = blk - bposw[cell_blk]
+    inb = jnp.all(jnp.abs(rel) <= 1, axis=-1)
+    nidx = ((rel[..., 2] + 1) * 9 + (rel[..., 1] + 1) * 3
+            + (rel[..., 0] + 1))
+    ridx = jnp.where(inb, cell_blk * 27 + nidx, 0)
+    found = ring["found"][ridx] & inb
+    safe = jnp.where(found, ridx, 0)
+    return found, ring["ptr"][safe], ring["res"][safe]
+
+
+def get_voxel(cfg: MapConfig, table: H.HashTable, pool: VoxelPool, pos,
+              ctx=None):
     """getVoxel(world) (voxel_data_structures.cu:162-205): nearest virtual
     voxel's stored value at the owning block's resolution.
 
     pos: f32[...,3].  Returns (sdf, weight, rgb f32[...,3] 0-255, res,
-    found)."""
+    found).  ctx: optional ring-cache context (build_ring) replacing the
+    per-point probe lookup."""
     vvs = cfg.virtual_voxel_size
     ext = jnp.asarray(cfg.voxel_extents, jnp.float32)
     pi = X.world_point_to_virtual_voxel_pos(vvs, pos)
     blk = X.virtual_voxel_pos_to_sdf_block(pi, vvs, ext)
     shape = pi.shape[:-1]
-    found, _, ptr, res = H.lookup(table, blk.reshape(-1, 3))
-    found = found.reshape(shape)
-    ptr = ptr.reshape(shape)
-    res = res.reshape(shape)
+    if ctx is None:
+        found, _, ptr, res = H.lookup(table, blk.reshape(-1, 3))
+        found = found.reshape(shape)
+        ptr = ptr.reshape(shape)
+        res = res.reshape(shape)
+    else:
+        found, ptr, res = _ring_resolve(ctx, blk)
 
     scale = (1 << res).astype(jnp.int32)
     local = jnp.mod(pi, P.SDF_BLOCK_SIZE) // scale[..., None]
@@ -63,7 +111,7 @@ def get_voxel(cfg: MapConfig, table: H.HashTable, pool: VoxelPool, pos):
     return sdf, w, rgb, jnp.where(found, res, 0), found
 
 
-def get_voxel_size(cfg: MapConfig, table: H.HashTable, pos):
+def get_voxel_size(cfg: MapConfig, table: H.HashTable, pos, ctx=None):
     """getVoxelSize(world) (voxel_data_structures.cu:226-240): vvs * 2^res of
     the owning block (res 0 if unallocated)."""
     vvs = cfg.virtual_voxel_size
@@ -71,24 +119,29 @@ def get_voxel_size(cfg: MapConfig, table: H.HashTable, pos):
     pi = X.world_point_to_virtual_voxel_pos(vvs, pos)
     blk = X.virtual_voxel_pos_to_sdf_block(pi, vvs, ext)
     shape = pi.shape[:-1]
-    found, _, _, res = H.lookup(table, blk.reshape(-1, 3))
-    res = jnp.where(found, res, 0).reshape(shape)
+    if ctx is None:
+        found, _, _, res = H.lookup(table, blk.reshape(-1, 3))
+        found = found.reshape(shape)
+        res = res.reshape(shape)
+    else:
+        found, _, res = _ring_resolve(ctx, blk)
+    res = jnp.where(found, res, 0)
     return vvs * (1 << res).astype(jnp.float32), res
 
 
 def trilinear_interpolation(cfg: MapConfig, table: H.HashTable,
-                            pool: VoxelPool, pos):
+                            pool: VoxelPool, pos, ctx=None):
     """trilinearInterpolation (voxel_data_structures.cu:260-338): 8-corner
     blend at the local voxel size, with coarse-neighbor SDF blending across
     resolution boundaries.  pos f32[...,3] -> (dist, valid)."""
-    vs, base_res = get_voxel_size(cfg, table, pos)              # [...]
+    vs, base_res = get_voxel_size(cfg, table, pos, ctx)         # [...]
     # NOTE: the reference re-derives base_res from block coords computed
     # with the scaled voxel size (voxel_data_structures.cu:264), which for
     # coarse blocks addresses a different key space; we read the true owning
     # block's resolution instead (documented deviation, DESIGN.md).
     vsn = vs[..., None]
     pos_dual = pos - 0.5 * vsn
-    pos_sdf, _, _, _, _ = get_voxel(cfg, table, pool, pos_dual)
+    pos_sdf, _, _, _, _ = get_voxel(cfg, table, pool, pos_dual, ctx)
 
     sdf = []
     valid = jnp.ones(pos.shape[:-1], bool)
@@ -96,12 +149,12 @@ def trilinear_interpolation(cfg: MapConfig, table: H.HashTable,
     for k in range(8):
         corner = _CORNER[k]
         vp = pos_dual + corner * vsn
-        v_sdf, v_w, _, v_res, _ = get_voxel(cfg, table, pool, vp)
+        v_sdf, v_w, _, v_res, _ = get_voxel(cfg, table, pool, vp, ctx)
         valid = valid & (v_w > 0)
         # resolution boundary: blend with the coarse sample
         nvs = vsn * 2.0
         nvp = pos - 0.5 * nvs + corner * nvs
-        c_sdf, _, _, _, _ = get_voxel(cfg, table, pool, nvp)
+        c_sdf, _, _, _, _ = get_voxel(cfg, table, pool, nvp, ctx)
         blend = 0.5 * pos_sdf + 0.5 * c_sdf
         sdf.append(jnp.where(v_res > base_res, blend, v_sdf))
         p_max = jnp.maximum(p_max, vp)
@@ -124,12 +177,12 @@ def trilinear_interpolation(cfg: MapConfig, table: H.HashTable,
     return dist, valid
 
 
-def _check_vertex_voxels(cfg, table, pf, vs, scaled_p, scaled_m):
+def _check_vertex_voxels(cfg, table, pf, vs, scaled_p, scaled_m, ctx=None):
     """checkVertexVoxels (marching_cubes.cu:6-69): shrink corner offsets by
     0.499 on axes whose +-half-voxel neighbor lives at another resolution."""
     def probe(offset_vec):
         p = pf + offset_vec
-        nvs, _ = get_voxel_size(cfg, table, p)
+        nvs, _ = get_voxel_size(cfg, table, p, ctx)
         return (nvs > 0) & (nvs < 1.0) & (nvs != vs)
 
     zeros = jnp.zeros_like(vs)
@@ -162,7 +215,7 @@ def _vertex_interp(p1, p2, d1, d2, c1, c2):
 
 
 def cell_gate(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
-              bpos, bptr, bres, bvalid):
+              bpos, bptr, bres, bvalid, ring=None):
     """Phase A: per (block, voxel) cell, does any of the 8 cube corners land
     in a weighted voxel?  Cheap filter — a cell with all-zero corner weights
     can emit no geometry (extractIsoSurfaceAtPosition rejects on weight).
@@ -173,10 +226,14 @@ def cell_gate(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     pi, lane_valid = _block_voxel_grid(bpos, bres, lane0)
     pf = X.virtual_voxel_pos_to_world(vvs, pi)
     vs = (vvs * (1 << bres).astype(jnp.float32))[:, None, None]
+    ctx = None
+    if ring is not None:
+        A = bpos.shape[0]
+        ctx = (ring, bpos, jnp.arange(A, dtype=jnp.int32)[:, None])
     gate = jnp.zeros(pf.shape[:-1], bool)
     for k in range(8):
         vp = pf + (_CORNER[k] - 0.5) * vs  # corners at pf +- vs/2
-        _, w, _, _, _ = get_voxel(cfg, table, pool, vp)
+        _, w, _, _, _ = get_voxel(cfg, table, pool, vp, ctx)
         gate = gate | (w > 0)
     gate = gate & bvalid[:, None] & lane_valid
     return pf, gate
@@ -195,24 +252,27 @@ def compact_cells(pf, gate, max_cells: int, offset=None):
     ranks = off + jnp.arange(1, max_cells + 1, dtype=jnp.int32)
     sel = jnp.searchsorted(cs, ranks, side="left").astype(jnp.int32)
     valid = ranks <= total
-    out_pf = flat_pf[jnp.where(valid, jnp.minimum(sel,
-                                                  flat_gate.shape[0] - 1), 0)]
-    out_pf = jnp.where(valid[:, None], out_pf, 0.0)
-    return out_pf, valid, total
+    sel_c = jnp.where(valid, jnp.minimum(sel, flat_gate.shape[0] - 1), 0)
+    out_pf = jnp.where(valid[:, None], flat_pf[sel_c], 0.0)
+    # window row of each compacted cell (cells are laid out [A, 512]):
+    # lets phase B address the window's ring cache
+    out_blk = jnp.where(valid, sel_c // pf.shape[1], 0)
+    return out_pf, valid, total, out_blk
 
 
 def extract_cells(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
-                  pf, cell_valid):
+                  pf, cell_valid, ctx=None):
     """Phase B: extractIsoSurfaceAtPosition (marching_cubes.cu:71-261) on the
     compacted cells.  Returns (tri_pos f32[Cc,5,3,3], tri_col f32[Cc,5,3,3],
-    tri_mask bool[Cc,5])."""
+    tri_mask bool[Cc,5]).  ctx: ring-cache context (build_ring) for the
+    cells' window."""
     Cc = pf.shape[0]
-    vs, _ = get_voxel_size(cfg, table, pf)
+    vs, _ = get_voxel_size(cfg, table, pf, ctx)
     half = 0.5 * vs
     scaled_p = half[..., None] * jnp.ones((1, 3), jnp.float32)
     scaled_m = -half[..., None] * jnp.ones((1, 3), jnp.float32)
     scaled_p, scaled_m = _check_vertex_voxels(cfg, table, pf, vs,
-                                              scaled_p, scaled_m)
+                                              scaled_p, scaled_m, ctx)
 
     # 8 corners: positions, trilinear dists (fallback to raw voxel sdf),
     # colors, validity
@@ -223,8 +283,8 @@ def extract_cells(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
         off = sel * scaled_p + (1.0 - sel) * scaled_m
         p_k = pf + off
         ppos.append(p_k)
-        dist, tri_ok = trilinear_interpolation(cfg, table, pool, p_k)
-        v_sdf, v_w, v_rgb, _, _ = get_voxel(cfg, table, pool, p_k)
+        dist, tri_ok = trilinear_interpolation(cfg, table, pool, p_k, ctx)
+        v_sdf, v_w, v_rgb, _, _ = get_voxel(cfg, table, pool, p_k, ctx)
         dist = jnp.where(tri_ok, dist, v_sdf)
         ok = ok & (tri_ok | (v_w >= cfg.min_weight_threshold))
         dists.append(dist)
@@ -289,21 +349,28 @@ def extract_iso_surface(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
     """extractIsoSurface (marching_cubes.cu:287-305) over compacted blocks
     (single bounded batch — callers needing full coverage drive
     gate_cells / extract_cell_batch in a host loop)."""
-    pf, gate, total = gate_cells(cfg, table, pool, bpos, bptr, bres, bvalid)
+    pf, gate, total, ring = gate_cells(cfg, table, pool, bpos, bptr, bres,
+                                       bvalid)
     return extract_cell_batch(cfg, table, pool, pf, gate, None,
-                              max_cells, max_triangles)
+                              max_cells, max_triangles, ring=ring, bpos=bpos)
 
 
 def gate_cells(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
                bpos, bptr, bres, bvalid):
-    """Phase A once per block window: cell centers + gate + gated count."""
-    pf, gate = cell_gate(cfg, table, pool, bpos, bptr, bres, bvalid)
-    return pf, gate, jnp.sum(gate.astype(jnp.int32))
+    """Phase A once per block window: cell centers + gate + gated count +
+    the window's 27-ring lookup cache (reused by every phase-B batch)."""
+    ring = build_ring(cfg, table, bpos, bvalid)
+    pf, gate = cell_gate(cfg, table, pool, bpos, bptr, bres, bvalid,
+                         ring=ring)
+    return pf, gate, jnp.sum(gate.astype(jnp.int32)), ring
 
 
 def extract_cell_batch(cfg: MapConfig, table: H.HashTable, pool: VoxelPool,
-                       pf, gate, offset, max_cells: int, max_triangles: int):
+                       pf, gate, offset, max_cells: int, max_triangles: int,
+                       ring=None, bpos=None):
     """Phase B on gated cells [offset, offset+max_cells)."""
-    cpf, cvalid, _ = compact_cells(pf, gate, max_cells, offset)
-    tri_pos, tri_col, tri_mask = extract_cells(cfg, table, pool, cpf, cvalid)
+    cpf, cvalid, _, cblk = compact_cells(pf, gate, max_cells, offset)
+    ctx = (ring, bpos, cblk) if ring is not None else None
+    tri_pos, tri_col, tri_mask = extract_cells(cfg, table, pool, cpf, cvalid,
+                                               ctx)
     return compact_triangles(tri_pos, tri_col, tri_mask, max_triangles)

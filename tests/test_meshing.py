@@ -57,6 +57,43 @@ def test_wall_mesh_plane():
     assert np.ptp(verts[:, 0]) > 1.0 and np.ptp(verts[:, 1]) > 0.8
 
 
+def test_ring_extraction_matches_legacy_on_multires():
+    """The 27-ring lookup cache (M.build_ring) must reproduce the per-point
+    probe-lookup extraction BIT-FOR-BIT on a mixed-resolution map — the
+    hard case: coarse neighbors, cross-resolution trilinear blends, and
+    checkVertexVoxels shrinks all resolve through the ring."""
+    import dataclasses
+
+    cfg, cam = cfg_cam()
+    cfg = dataclasses.replace(cfg, sdf_var_threshold=0.5)
+    state = make_state(cfg.num_blocks)
+    rng = np.random.default_rng(7)
+    rgb = jnp.full((ROWS, COLS, 3), 128, jnp.uint8)
+    for f in range(4):
+        depth = jnp.asarray(2.0 + rng.normal(0, 0.004, (ROWS, COLS)),
+                            jnp.float32)
+        state, _ = pipeline.integrate_rgbd(cfg, state, cam, depth, rgb)
+
+    slots, count, bpos, bptr, bres, bvalid = I.compact_active(
+        cfg, state.table)
+    assert bool((np.asarray(bres)[np.asarray(bvalid)] == 1).any()), \
+        "no coarse blocks; fixture broken"
+
+    pf, gate, total, ring = M.gate_cells(cfg, state.table, state.pool,
+                                         bpos, bptr, bres, bvalid)
+    pf0, gate0 = M.cell_gate(cfg, state.table, state.pool, bpos, bptr,
+                             bres, bvalid, ring=None)
+    assert np.array_equal(np.asarray(gate), np.asarray(gate0))
+    assert np.allclose(np.asarray(pf), np.asarray(pf0))
+
+    args = (cfg, state.table, state.pool, pf, gate, None, 1 << 14, 1 << 15)
+    p1, c1, n1 = M.extract_cell_batch(*args, ring=ring, bpos=bpos)
+    p0, c0, n0 = M.extract_cell_batch(*args)
+    assert int(n1) == int(n0) and int(n0) > 0
+    assert np.array_equal(np.asarray(p1), np.asarray(p0))
+    assert np.array_equal(np.asarray(c1), np.asarray(c0))
+
+
 def test_trilinear_on_wall():
     cfg, cam = cfg_cam()
     state = make_state(cfg.num_blocks)
