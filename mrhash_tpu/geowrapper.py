@@ -545,6 +545,22 @@ class GeoWrapper:
         count = int(count)
         pos_parts, col_parts = [], []
         A = bpos.shape[0]
+
+        # batches dispatch back-to-back with counts fetched ASYNC — the
+        # previous per-batch int(n) drained the device pipeline (and paid a
+        # tunnel round trip) between every 65k-cell batch; now up to
+        # `depth` batches are in flight and only the final n-row slice
+        # fetch is synchronous (small: the triangle buffers compact to the
+        # front)
+        inflight, depth = [], 8
+
+        def drain(entry):
+            tri_pos, tri_col, n = entry
+            n = int(n)
+            if n:
+                pos_parts.append(np.asarray(tri_pos[:n]))
+                col_parts.append(np.asarray(tri_col[:n]))
+
         for off in range(0, A, chunk):
             if off >= count:
                 break
@@ -560,10 +576,15 @@ class GeoWrapper:
                     max_cells, max_triangles)(
                     state.table, state.pool, pf, gate, jnp.int32(coff),
                     ring, bpos[sl])
-                n = int(n)
-                if n:
-                    pos_parts.append(np.asarray(tri_pos[:n]))
-                    col_parts.append(np.asarray(tri_col[:n]))
+                try:
+                    n.copy_to_host_async()
+                except Exception:
+                    pass
+                inflight.append((tri_pos, tri_col, n))
+                if len(inflight) >= depth:
+                    drain(inflight.pop(0))
+        for entry in inflight:
+            drain(entry)
         if not pos_parts:
             return (np.zeros((0, 3, 3), np.float32),
                     np.zeros((0, 3, 3), np.float32))

@@ -116,11 +116,12 @@ class GaussianContainer:
             tx = self.model.tx
             sh_degree = self.p.sh_degree
             bg = self.model.background
+            cap = int(getattr(self.p, "train_max_per_tile", 64))
 
             def loss_fn(params, count, cam_d, gt):
                 active = jnp.arange(params["xyz"].shape[0]) < count
                 img, _ = render(params, active, dict(cam_d, W=W, H=H), bg,
-                                sh_degree)
+                                sh_degree, max_per_tile=cap)
                 return losses.l1_loss(img, gt)
 
             @jax.jit
@@ -151,11 +152,12 @@ class GaussianContainer:
             tx = self.model.tx
             sh_degree = self.p.sh_degree
             bg = self.model.background
+            cap = int(getattr(self.p, "train_max_per_tile", 64))
 
             def loss_fn(params, count, cam_d, gt):
                 active = jnp.arange(params["xyz"].shape[0]) < count
                 img, _ = render(params, active, dict(cam_d, W=W, H=H), bg,
-                                sh_degree)
+                                sh_degree, max_per_tile=cap)
                 return losses.l1_loss(img, gt)
 
             @jax.jit

@@ -39,7 +39,13 @@ class OptimizationParams:
                     # semantics: the oldest keyframe is overwritten.  At u8
                     # HWC storage a 1200x680 keyframe is 2.45 MB, so the
                     # default bounds the store at ~0.6 GB.
-                    max_keyframes=256)
+                    max_keyframes=256,
+                    # per-tile blend cap for ONLINE training renders (ours):
+                    # cap 64 halves the Pallas blend fwd+bwd versus the
+                    # render-default 128 at a measured mean-abs image delta
+                    # of 1.9e-4 vs a 512-cap reference (BENCH_GS cap sweep).
+                    # optimize_final and render_view keep the full default.
+                    train_max_per_tile=64)
 
     def __init__(self, path=None):
         vals = dict(self.DEFAULTS)

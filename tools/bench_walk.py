@@ -73,7 +73,7 @@ def main():
                     num_blocks=num_blocks, max_active_blocks=1 << 15,
                     max_alloc_per_frame=1 << 13, profiling=False)
     gw.cfg = dataclasses.replace(gw.cfg, alloc_tile=4, starve_bands=8)
-    gw.setCamera(600.0, 600.0, 599.5, 339.5, COLS, ROWS, 0.01, MAXD)
+    gw.setCamera(600.0, 600.0, 599.5, 339.5, ROWS, COLS, 0.01, MAXD)
 
     rng = np.random.default_rng(0)
     rgb = rng.integers(0, 255, (ROWS, COLS, 3)).astype(np.uint8)

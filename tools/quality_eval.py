@@ -346,11 +346,21 @@ def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
             bs = P_BLOCK * vvs
             keys = np.floor(missed / bs).astype(np.int64)
             buckets = {0: 0, 1: 0, -1: 0}
+            boundary0 = 0   # res-0 owners with a res-1 face neighbor:
+            #                 cross-resolution cell rejection territory
+            nbrs = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                    (0, 0, 1), (0, 0, -1)]
             for k in keys:
-                buckets[res_of.get(tuple(k), -1)] += 1
+                r = res_of.get(tuple(k), -1)
+                buckets[r] += 1
+                if r == 0 and any(
+                        res_of.get((k[0] + dx, k[1] + dy, k[2] + dz), 0) == 1
+                        for dx, dy, dz in nbrs):
+                    boundary0 += 1
             n_res1 = int((res_all == 1).sum())
             print(f"# recall-miss diagnosis: {missed.shape[0]} GT points "
                   f">5cm from mesh; owner res0={buckets[0]} "
+                  f"(of which res1-adjacent {boundary0}) "
                   f"res1={buckets[1]} unallocated={buckets[-1]}; map has "
                   f"{n_res1}/{res_all.shape[0]} res-1 blocks",
                   file=sys.stderr)
