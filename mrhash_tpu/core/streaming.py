@@ -379,6 +379,10 @@ class Streamer:
             pack_evicted_pass, cfg, self.staging), donate_argnums=(0,))
         self._insert = jax.jit(functools.partial(
             insert_blocks, cfg, self.staging), donate_argnums=(0, 1))
+        # one worker: per-pass payload decode overlaps the next pass's
+        # wire wait (the tunnel leaves the core idle)
+        import concurrent.futures
+        self._ingest_pool = concurrent.futures.ThreadPoolExecutor(1)
 
     # -- out ----------------------------------------------------------------
     @staticmethod
@@ -398,33 +402,47 @@ class Streamer:
     FETCH_SLICE = 8192
 
     def _fetch(self, staged):
-        """Wire half of a stream-out pass: fetch the packed payload (one
-        sliced device->host transfer) and buffer the decoded rows; the
-        grid insert is deferred to _flush_ingest so per-chunk dedup/sort
-        work runs ONCE per stream event instead of once per pass."""
+        """Wire half of a stream-out pass: fetch the packed payload (sliced
+        device->host transfers, queued async so the tunnel streams
+        back-to-back) and hand the raw rows to the unpack worker; the
+        chunk-grid insert is deferred to _flush_ingest so per-chunk
+        dedup/sort work runs ONCE per stream event instead of once per
+        pass."""
         import time
         buf, n = staged
         if n == 0:
             return
         t0 = time.perf_counter()
         k = min(self._fetch_rows(n), buf.shape[0])
-        parts = [np.asarray(buf[off:min(off + self.FETCH_SLICE, k)])
-                 for off in range(0, k, self.FETCH_SLICE)]
+        slices = [buf[off:min(off + self.FETCH_SLICE, k)]
+                  for off in range(0, k, self.FETCH_SLICE)]
+        for s in slices:
+            try:
+                s.copy_to_host_async()
+            except Exception:
+                pass
+        parts = [np.asarray(s) for s in slices]
         buf_h = (parts[0] if len(parts) == 1 else np.concatenate(parts))[:n]
         self.out_stats["fetch_s"] += time.perf_counter() - t0
         self.out_stats["bytes"] += buf_h.nbytes
-        self._pending_rows.append(buf_h)
+        # decode on the worker thread: the wire wait leaves the core idle,
+        # so per-pass unpack rides the NEXT pass's fetch; the grid insert
+        # stays accumulate-once (_flush_ingest)
+        self._pending_rows.append(
+            self._ingest_pool.submit(unpack_transfer, buf_h))
 
     def _flush_ingest(self):
-        """Decode + chunk-grid insert of every fetched pass in one shot."""
+        """Chunk-grid insert of every fetched (worker-decoded) pass in one
+        shot."""
         import time
         if not self._pending_rows:
             return
         t0 = time.perf_counter()
-        buf_h = (self._pending_rows[0] if len(self._pending_rows) == 1
-                 else np.concatenate(self._pending_rows))
+        fields = [f.result() for f in self._pending_rows]
         self._pending_rows = []
-        pos_h, res_h, sdf_h, ssq_h, w_h, rgb_h = unpack_transfer(buf_h)
+        pos_h, res_h, sdf_h, ssq_h, w_h, rgb_h = (
+            fields[0] if len(fields) == 1 else
+            tuple(np.concatenate(cols) for cols in zip(*fields)))
         block_world = (pos_h.astype(np.float64)
                        * P.SDF_BLOCK_SIZE * self.cfg.virtual_voxel_size)
         self.grid.add_blocks(block_world, pos_h, res_h, sdf_h, ssq_h,
