@@ -168,7 +168,7 @@ def insert_blocks(cfg: MapConfig, staging: int, table: H.HashTable, pool,
 
 
 def plan_evictions(cfg: MapConfig, table: H.HashTable, cam_pos, radius,
-                   all_out):
+                   all_out, budget=None):
     """One-shot eviction plan (replaces the per-pass full-table compaction
     of collect_evicted): select every entry to evict, free them ALL from
     the table in one program (heap return + entry clear + presence-cache
@@ -176,12 +176,31 @@ def plan_evictions(cfg: MapConfig, table: H.HashTable, cam_pos, radius,
     capacity-sized device buffers.  Payload gathering is deferred to
     pack_evicted_pass so each pass touches only staging-sized state.
 
+    budget (traced i32, 0 = off): cap the eviction set to the `budget`
+    FARTHEST candidates.  The reference's fixed-radius policy
+    (streamer.cpp:168-247) evicts only the shell that crossed the radius
+    since the last trigger; when the plan program + tunnel transfer cost
+    seconds per trigger (TPU remote link) that thrashes — a trigger must
+    recover the heap to a watermark in ONE event, so the caller passes
+    budget = watermark - free and the plan takes the farthest blocks
+    beyond the protect radius (documented deviation; trigger frequency
+    drops ~20x on forward-walk scenes).
+
     Returns (table', n_evict, pos[C,3], res[C], ptr[C])."""
     vvs = cfg.virtual_voxel_size
     occupied = table.ptr != H.FREE
     pw = X.sdf_block_to_world_point(vvs, table.pos)
     dist = jnp.linalg.norm(pw - cam_pos, axis=-1)
     evict = occupied & (all_out | (dist >= radius))
+    if budget is not None:
+        # farthest-first cap: threshold at the budget-th largest candidate
+        # distance (ties may admit a few extra — bounded, harmless)
+        C_ = dist.shape[0]
+        d_m = jnp.where(evict, dist, -1.0)
+        d_sorted = jnp.sort(d_m)[::-1]
+        d_thr = d_sorted[jnp.clip(budget - 1, 0, C_ - 1)]
+        capped = evict & (dist >= jnp.maximum(d_thr, 0.0))
+        evict = jnp.where(budget > 0, capped, evict)
 
     # scatter-based compaction: at k ~ capacity, compact_indices'
     # searchsorted formulation pays C*log2(C) element gathers (measured
@@ -449,7 +468,8 @@ class Streamer:
                              w_h, rgb_h)
         self.out_stats["ingest_s"] += time.perf_counter() - t0
 
-    def _stream_out_loop(self, state: MapState, cam_pos, radius, all_out):
+    def _stream_out_loop(self, state: MapState, cam_pos, radius, all_out,
+                         budget=0):
         """Plan-once + pipelined pass loop: ONE full-table program frees
         every evicted entry and compacts the descriptors; each pass then
         gathers + clears only staging-sized pool state.  Pass i+1 is
@@ -463,7 +483,8 @@ class Streamer:
                               plan_s=0.0, bytes=0, passes=0, blocks=0)
         t0 = time.perf_counter()
         table, n_evict, pos_all, res_all, ptr_all = self._plan(
-            state.table, cam_pos, radius, all_out)
+            state.table, cam_pos, radius, all_out,
+            jnp.int32(max(int(budget), 0)))
         n_evict = int(n_evict)
         self.out_stats["plan_s"] += time.perf_counter() - t0
         self.out_stats["blocks"] = n_evict
@@ -487,10 +508,13 @@ class Streamer:
         self._flush_ingest()
         return state.replace(pool=pool)
 
-    def stream_out(self, state: MapState, cam_pos, radius) -> MapState:
+    def stream_out(self, state: MapState, cam_pos, radius,
+                   budget=0) -> MapState:
         """streamOutToHostPass0 (streamer.cpp:168-247), looped over staging-
-        sized passes instead of throwing on overflow (:181-186)."""
-        return self._stream_out_loop(state, cam_pos, radius, False)
+        sized passes instead of throwing on overflow (:181-186).  budget>0:
+        evict only the `budget` farthest blocks beyond the radius (see
+        plan_evictions)."""
+        return self._stream_out_loop(state, cam_pos, radius, False, budget)
 
     def stream_all_out(self, state: MapState) -> MapState:
         """streamAllOut (streamer.cpp:249-281)."""
@@ -582,9 +606,10 @@ class Streamer:
             dropped += int((valid & ~present_h).sum())
         return state, owned_mask, dropped
 
-    def stream(self, state: MapState, cam_pos, radius) -> MapState:
+    def stream(self, state: MapState, cam_pos, radius,
+               budget=0) -> MapState:
         """stream (streamer.cpp:336-355): evict far, reload near."""
-        state = self.stream_out(state, cam_pos, radius)
+        state = self.stream_out(state, cam_pos, radius, budget)
         return self.stream_in(state, cam_pos, radius)
 
     # -- persistence (Serializer<T>, serializer.h:12-78) ---------------------

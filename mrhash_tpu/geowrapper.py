@@ -453,13 +453,19 @@ class GeoWrapper:
         """Per-frame step (geowrapper.cpp:118-148)."""
         cam = C.with_pose(self.camera, self.curr_rot, self.curr_trans)
 
-        # stream when the high heap runs low (geowrapper.cpp:137-138)
+        # stream when the high heap runs low (geowrapper.cpp:137-138);
+        # budgeted farthest-first eviction recovers the heap to the
+        # STREAM_TARGET watermark in one event (plan_evictions docstring)
         if self._high_free <= P.STREAM_THRESHOLD * self.cfg.num_blocks:
             self._drop_resident()
+            need = int(P.STREAM_TARGET * self.cfg.num_blocks) \
+                - self._high_free
             with self.streaming_profiler.event():
                 self.state = self.streamer.stream(
-                    self.state, self.curr_trans, self.camera.max_depth)
+                    self.state, self.curr_trans, self.camera.max_depth,
+                    budget=max(need, 0))
             self.streaming_profiler.write(self.streamer.grid.num_blocks())
+            self._high_free = int(self.state.table.high_count)
 
         with self.integration_profiler.event():
             cfg = self._bucket_cfg()

@@ -76,7 +76,14 @@ def make_table(num_blocks: int, num_buckets: int | None = None) -> HashTable:
         ptr=jnp.full((C,), FREE, jnp.int32),
         res=jnp.zeros((C,), jnp.int32),
         fp=jnp.zeros((C,), jnp.int32),
-        pck=jnp.full((PC_FACTOR * num_buckets, 3), PC_EMPTY, jnp.int32),
+        # presence cache sized by BLOCK capacity, not bucket count: compact
+        # bucket configs (buckets << blocks) hold up to num_blocks keys,
+        # and a cache of 8*buckets cells at ~n keys suffers ~n^2/2Pc
+        # evictions — 22k at Replica-x2 (107k keys in 262k cells), far past
+        # any alloc_miss_tier, silently disabling the fast alloc path every
+        # frame.  8*num_blocks cells keeps evictions O(n/16).
+        pck=jnp.full((PC_FACTOR * max(num_buckets, num_blocks), 3),
+                     PC_EMPTY, jnp.int32),
         heap_high=jnp.arange(num_blocks - 1, -1, -1, dtype=jnp.int32),
         heap_low=jnp.full((n_low,), n_low, jnp.int32),
         high_count=jnp.int32(num_blocks),

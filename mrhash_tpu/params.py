@@ -39,6 +39,11 @@ MAX_DDA_ITERATION_COUNT = 1024   # reference bound; our static DDA step count is
 N_ITERATION_BISECTION = 3
 CAMERA_UPSCALING_STARVING_FACTOR = 2.0
 STREAM_THRESHOLD = 0.15          # stream out when high-heap free count <= 15% of capacity
+STREAM_TARGET = 0.35             # budgeted eviction recovers free heap to
+#                                  this watermark per trigger (farthest-
+#                                  first; keeps trigger frequency ~20x
+#                                  lower than the reference's fixed-radius
+#                                  shell policy — plan_evictions docstring)
 DEFAULT_SDF_VAR_THRESHOLD = 0.0
 DEFAULT_VERTICES_MERGING_THRESHOLD = 0.0
 DEFAULT_PROJECTIVE_SDF = True

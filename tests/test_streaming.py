@@ -70,6 +70,60 @@ def test_stream_cycle_duplicate_audit():
         assert np.unique(g["pos"], axis=0).shape[0] == g["pos"].shape[0]
 
 
+def test_budgeted_eviction_takes_farthest():
+    """plan_evictions budget mode: a trigger must recover the heap in ONE
+    event by evicting the `budget` FARTHEST blocks beyond the protect
+    radius, keeping every nearer candidate resident (the fixed-radius
+    shell policy thrashes at seconds-per-trigger link costs — deviation
+    documented in plan_evictions)."""
+    cfg, cam = make_setup()
+    state = make_state(cfg.num_blocks)
+    depth = jnp.full((ROWS, COLS), 2.0, jnp.float32)
+    rgb = jnp.full((ROWS, COLS, 3), 128, jnp.uint8)
+    # build a map at several forward offsets: blocks spread 0..6 m in z
+    for k in range(4):
+        rot = jnp.eye(3, dtype=jnp.float32)
+        t = jnp.asarray([0.0, 0.0, 1.5 * k], jnp.float32)
+        state, _ = pipeline.integrate_rgbd(cfg, state, C.with_pose(cam, rot,
+                                                                   t),
+                                           depth, rgb)
+    occ0 = int((np.asarray(state.table.ptr) != P.FREE_ENTRY).sum())
+    cam_pos = np.asarray([0.0, 0.0, 6.0])  # camera at the far end
+    protect = 1.0
+    st = Streamer(cfg, 1024)
+    # distances of all occupied blocks before eviction
+    from mrhash_tpu.ops import coords as X
+    pos = np.asarray(state.table.pos)
+    occm = np.asarray(state.table.ptr) != P.FREE_ENTRY
+    pw = np.asarray(X.sdf_block_to_world_point(
+        cfg.virtual_voxel_size, jnp.asarray(pos)))
+    dist = np.linalg.norm(pw - cam_pos, axis=-1)
+    cand = occm & (dist >= protect)
+    budget = int(cand.sum()) // 3
+    assert budget > 10
+
+    state2 = st.stream_out(state, cam_pos, protect, budget=budget)
+    occ_after = np.asarray(state2.table.ptr) != P.FREE_ENTRY
+    evicted = occm & ~occ_after
+    n_ev = int(evicted.sum())
+    # took ~budget blocks (ties may admit a few extra)
+    assert budget <= n_ev <= budget + 32, (budget, n_ev)
+    # they are the farthest: every evicted block is at least as far as
+    # every surviving candidate (up to float ties)
+    if (cand & ~evicted).any():
+        min_ev = dist[evicted].min()
+        max_keep = dist[cand & ~evicted].max()
+        assert min_ev >= max_keep - 1e-5, (min_ev, max_keep)
+    # nothing inside the protect radius was touched
+    assert not (evicted & (dist < protect)).any()
+    # evicted blocks landed in the host grid
+    assert st.grid.num_blocks() == n_ev
+    # conservation: heap free + occupied == capacity
+    assert (int(state2.table.high_count)
+            + int(occ_after.sum())) == cfg.num_blocks
+    assert occ0 - n_ev == int(occ_after.sum())
+
+
 def test_stream_out_in_roundtrip_preserves_voxels():
     cfg, cam = make_setup()
     state = make_state(cfg.num_blocks)

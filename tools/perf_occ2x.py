@@ -53,12 +53,18 @@ def frame_cam(C, cam0, i):
     return C.with_pose(cam0, jnp.asarray(rot), jnp.asarray(t))
 
 
-def run_cfg_for(jax, occ_max):
+def run_cfg_for(jax, occ_max, occ_total=None):
+    """occ_max: max IN-FRUSTUM count (sizes the window bucket).
+    occ_total: max TOTAL occupancy (sizes the two-stage occupied bucket —
+    the truncation shells of every wall stay occupied outside the frustum,
+    ~2.6x the in-frustum count on the occ2x room, so sizing B from occ_max
+    silently halves the window: the round-4 overflow hazard, measured)."""
     cfg = build_cfg(jax)
     bucket = max(-(-int(occ_max * 1.2) // 4096) * 4096, 4096)
     bucket = min(bucket, cfg.max_active_blocks)
     from mrhash_tpu import params as MP
-    ob = min(max(-(-int(occ_max * 1.35) // 4096) * 4096, bucket),
+    occ_t = int(occ_total) if occ_total else 0
+    ob = min(max(-(-int(max(occ_t, occ_max) * 1.25) // 4096) * 4096, bucket),
              (cfg.num_buckets or cfg.num_blocks) * MP.HASH_BUCKET_SIZE)
     return dataclasses.replace(
         cfg, max_active_blocks=bucket, occupied_bucket=ob,
@@ -87,14 +93,15 @@ def save():
 
     t0 = time.time()
     step = pipeline.jit_integrate_rgbd(cfg)
-    occ_max = 0
+    occ_max = occ_total = 0
     for i in range(ORBIT):
         state, stats = step(state, frame_cam(C, cam0, i),
                             depths[i % ORBIT], rgb)
         occ_max = max(occ_max, int(stats["occupied_blocks"]))
+        occ_total = max(occ_total, int(stats["occupied_total"]))
         if i % 10 == 0:
             print(f"# orbit1 frame {i} @ {time.time()-t0:.0f}s", flush=True)
-    cfg_run = run_cfg_for(jax, occ_max)
+    cfg_run = run_cfg_for(jax, occ_max, occ_total)
     if cfg.resident_rows:
         state = state.replace(resident=make_resident(
             cfg.num_blocks, cfg_run.max_active_blocks))
@@ -111,7 +118,7 @@ def save():
     occ_rows = np.unique(ptr_h[ptr_h >= 0] // 512).astype(np.int32)
     rows_d = jnp.asarray(occ_rows)
     np.savez_compressed(
-        SNAP, occ_max=occ_max,
+        SNAP, occ_max=occ_max, occ_total=occ_total,
         pos=np.asarray(t.pos), ptr=ptr_h, res=np.asarray(t.res),
         fp=np.asarray(t.fp), heap_high=np.asarray(t.heap_high),
         heap_low=np.asarray(t.heap_low),
@@ -142,7 +149,7 @@ def load(jax):
         heap_low=jnp.asarray(z["heap_low"]),
         high_count=jnp.asarray(z["high_count"]),
         low_count=jnp.asarray(z["low_count"]),
-        pck=jnp.zeros((H.PC_FACTOR << 15, 3), jnp.int32),
+        pck=jnp.zeros((H.PC_FACTOR * (1 << 19), 3), jnp.int32),
         num_buckets=1 << 15, num_blocks=1 << 19)
     table = H.rebuild_pcache(table)
     n_rows = 1 << 19
@@ -164,7 +171,8 @@ def load(jax):
                             res_index=jnp.asarray(z["r_res_index"]))
     state = MapState(table=table, pool=pool, frame=jnp.asarray(z["frame"]),
                      resident=resident)
-    cfg_run = run_cfg_for(jax, int(z["occ_max"]))
+    cfg_run = run_cfg_for(jax, int(z["occ_max"]),
+                          int(z["occ_total"]) if "occ_total" in z else None)
     depths = [jnp.asarray(d) for d in z["depths"]]
     return state, cfg_run, depths, jnp.asarray(z["rgb"])
 

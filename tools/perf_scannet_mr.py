@@ -147,7 +147,7 @@ def load(jax):
         heap_low=jnp.asarray(z["heap_low"]),
         high_count=jnp.asarray(z["high_count"]),
         low_count=jnp.asarray(z["low_count"]),
-        pck=jnp.zeros((H.PC_FACTOR << 15, 3), jnp.int32),
+        pck=jnp.zeros((H.PC_FACTOR * (1 << 19), 3), jnp.int32),
         num_buckets=1 << 15, num_blocks=1 << 19)
     table = H.rebuild_pcache(table)
     n_rows = 1 << 19
