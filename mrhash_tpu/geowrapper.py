@@ -559,25 +559,32 @@ class GeoWrapper:
         # fetch is synchronous (small: the triangle buffers compact to the
         # front)
         inflight, depth = [], 8
+        import time
+        tm = dict(gate_s=0.0, dispatch_s=0.0, drain_s=0.0, batches=0)
 
         def drain(entry):
             tri_pos, tri_col, n = entry
+            t0 = time.perf_counter()
             n = int(n)
             if n:
                 pos_parts.append(np.asarray(tri_pos[:n]))
                 col_parts.append(np.asarray(tri_col[:n]))
+            tm["drain_s"] += time.perf_counter() - t0
 
         for off in range(0, A, chunk):
             if off >= count:
                 break
             sl = slice(off, off + chunk)
+            t0 = time.perf_counter()
             pf, gate, total, ring = self._jit_gate()(
                 state.table, state.pool, bpos[sl], bptr[sl], bres[sl],
                 bvalid[sl])
             total = int(total)
+            tm["gate_s"] += time.perf_counter() - t0
             # sweep ALL gated cells in bounded batches (phase B); one
             # bounded buffer used to silently truncate dense chunks ~30x
             for coff in range(0, total, max_cells):
+                t0 = time.perf_counter()
                 tri_pos, tri_col, n = self._jit_batch(
                     max_cells, max_triangles)(
                     state.table, state.pool, pf, gate, jnp.int32(coff),
@@ -587,10 +594,16 @@ class GeoWrapper:
                 except Exception:
                     pass
                 inflight.append((tri_pos, tri_col, n))
+                tm["dispatch_s"] += time.perf_counter() - t0
+                tm["batches"] += 1
                 if len(inflight) >= depth:
                     drain(inflight.pop(0))
         for entry in inflight:
             drain(entry)
+        if count > chunk:
+            print("GeoWrapper::_extract_resident | "
+                  + " ".join(f"{k}={v:.1f}" if isinstance(v, float)
+                             else f"{k}={v}" for k, v in tm.items()))
         if not pos_parts:
             return (np.zeros((0, 3, 3), np.float32),
                     np.zeros((0, 3, 3), np.float32))
@@ -652,6 +665,25 @@ class GeoWrapper:
         clear program between batches."""
         import time
         t_start = time.perf_counter()
+        self._flush_resident()
+        if not self.streamer.grid.chunks:
+            # the whole map is resident on device: extract directly — the
+            # stream-out + read-only re-insert cycle exists for maps the
+            # host grid holds beyond device capacity, and costs 2x the
+            # payload over the wire for nothing here (measured 49 s out +
+            # 59 s insert of a 271 s Replica-scale extract)
+            self.mesh.reset()
+            tri_pos, tri_col = self._extract_resident()
+            if tri_pos.shape[0] > 0:
+                self.mesh.add_triangles(tri_pos, tri_col)
+            print("GeoWrapper::extractMesh | direct (device-resident map) "
+                  f"{time.perf_counter() - t_start:.1f}s")
+            plyio.write_mesh_ply(filename, self.mesh.vertices,
+                                 self.mesh.faces, self.mesh.colors)
+            print("GeoWrapper::extractMesh | written "
+                  f"{self.mesh.vertices.shape[0]} vertices and "
+                  f"{self.mesh.faces.shape[0]} faces to {filename}")
+            return
         self._drop_resident()
         self.state = self.streamer.stream_all_out(self.state)
         self.mesh.reset()
