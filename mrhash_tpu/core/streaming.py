@@ -229,10 +229,14 @@ PACK_COLS = 4 + 3 * LANES
 
 
 def pack_evicted_pass(cfg: MapConfig, staging: int, pool,
-                      pos_all, res_all, ptr_all, n_evict, offset):
+                      pos_all, res_all, ptr_all, n_evict, offset,
+                      clear: bool = True):
     """Gather one staging-sized pass of planned evictions into a SINGLE
     packed i32 buffer (one device->host transfer per pass) and zero the
-    gathered pool rows/windows.  Returns (pool', packed[S, PACK_COLS])."""
+    gathered pool rows/windows.  Returns (pool', packed[S, PACK_COLS]).
+
+    clear=False (static): READ-ONLY gather for snapshots — the pool is
+    untouched and only `packed` is returned (no donated/copied pool)."""
     S = staging
     # pad so offset+S never exceeds the array (dynamic_slice would clamp
     # the start backwards and desync the valid mask on the last pass)
@@ -265,10 +269,16 @@ def pack_evicted_pass(cfg: MapConfig, staging: int, pool,
 
     sdf_bits = jax.lax.bitcast_convert_type(sel_rows(pool.sdf), jnp.int32)
     ssq_bits = jax.lax.bitcast_convert_type(sel_rows(pool.sumsq), jnp.int32)
-    wrgb = sel_rows(pool.rgbp) | (sel_rows(pool.weight) << 24)
+    # weight rides rgb's spare byte (reference stores uchar weight,
+    # voxel_data_structures.cuh): clamp defensively — a weight > 255 would
+    # wrap through << 24 and corrupt both fields (setIntegrationWeightMax
+    # also validates <= 255 at config time)
+    wrgb = sel_rows(pool.rgbp) | (jnp.clip(sel_rows(pool.weight), 0, 255)
+                                  << 24)
 
-    from mrhash_tpu.ops.integrate import _clear_blocks
-    pool = _clear_blocks(pool, ptrs, res, valid, multires=multires)
+    if clear:
+        from mrhash_tpu.ops.integrate import _clear_blocks
+        pool = _clear_blocks(pool, ptrs, res, valid, multires=multires)
 
     desc = jnp.concatenate(
         [jnp.where(valid[:, None], pos, 0), jnp.where(valid, res, 0)[:, None]],
@@ -278,6 +288,8 @@ def pack_evicted_pass(cfg: MapConfig, staging: int, pool,
         [desc, jnp.where(valid[:, None], sdf_bits, z),
          jnp.where(valid[:, None], ssq_bits, z),
          jnp.where(valid[:, None], wrgb, z)], axis=1)
+    if not clear:
+        return packed
     return pool, packed
 
 
@@ -305,9 +317,15 @@ class ChunkGrid:
     arrays of the blocks stored there."""
 
     def __init__(self, voxel_extents):
+        import threading
         self.extents = np.asarray(voxel_extents, np.float32)
         self.chunk_radius = float(np.linalg.norm(self.extents) / 2.0)
         self.chunks: dict[tuple, dict] = {}
+        # guards chunk-dict mutation: the async stream-out job ingests
+        # fetched payloads from a worker thread while the frame loop may
+        # pop/peek chunks (Streamer.stream dispatches the device passes and
+        # returns; the wire fetch + ingest overlap later frames)
+        self._lock = threading.Lock()
 
     def world_to_chunk(self, pw):
         p = np.asarray(pw, np.float64) / self.extents
@@ -317,10 +335,15 @@ class ChunkGrid:
         return np.asarray(chunk, np.float64) * self.extents
 
     def num_blocks(self):
-        return sum(c["pos"].shape[0] for c in self.chunks.values())
+        with self._lock:
+            return sum(c["pos"].shape[0] for c in self.chunks.values())
 
     def add_blocks(self, block_world, pos, res, sdf, ssq, w, rgb):
         """integrateInChunkGrid (streamer.cpp:209-247)."""
+        with self._lock:
+            self._add_blocks_locked(block_world, pos, res, sdf, ssq, w, rgb)
+
+    def _add_blocks_locked(self, block_world, pos, res, sdf, ssq, w, rgb):
         if pos.shape[0] == 0:
             return
         ck = self.world_to_chunk(block_world)
@@ -351,32 +374,37 @@ class ChunkGrid:
     def pop_chunks_in_sphere(self, center, radius):
         """isChunkInSphere selection (streamer.cuh:346-352); removes and
         returns the matching chunks' blocks."""
-        keys = []
-        for key in self.chunks:
-            wp = self.chunk_to_world(key)
-            if np.linalg.norm(wp - np.asarray(center)) <= abs(
-                    radius - self.chunk_radius):
-                keys.append(key)
-        if not keys:
-            return None
-        groups = [self.chunks.pop(k) for k in keys]
-        return {k: np.concatenate([g[k] for g in groups]) for k in groups[0]}
+        with self._lock:
+            keys = []
+            for key in self.chunks:
+                wp = self.chunk_to_world(key)
+                if np.linalg.norm(wp - np.asarray(center)) <= abs(
+                        radius - self.chunk_radius):
+                    keys.append(key)
+            if not keys:
+                return None
+            groups = [self.chunks.pop(k) for k in keys]
+            return {k: np.concatenate([g[k] for g in groups])
+                    for k in groups[0]}
 
     def peek_chunks(self, keys):
         """Read-only view of the given chunks' blocks, concatenated (None if
         no key is present).  Unlike pop_chunks_in_sphere the grid keeps
         ownership — used by the mesh sweep, which never mutates payloads."""
-        groups = [self.chunks[k] for k in keys if k in self.chunks]
-        if not groups:
-            return None
-        return {k: np.concatenate([g[k] for g in groups]) for k in groups[0]}
+        with self._lock:
+            groups = [self.chunks[k] for k in keys if k in self.chunks]
+            if not groups:
+                return None
+            return {k: np.concatenate([g[k] for g in groups])
+                    for k in groups[0]}
 
     def compute_bounds(self):
         """streamer.cuh:358-384."""
-        if not self.chunks:
-            return np.zeros(3, np.int64), np.zeros(3, np.int64)
-        arr = np.asarray(list(self.chunks.keys()), np.int64)
-        return arr.min(axis=0), arr.max(axis=0)
+        with self._lock:
+            if not self.chunks:
+                return np.zeros(3, np.int64), np.zeros(3, np.int64)
+            arr = np.asarray(list(self.chunks.keys()), np.int64)
+            return arr.min(axis=0), arr.max(axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -402,6 +430,32 @@ class Streamer:
         # wire wait (the tunnel leaves the core idle)
         import concurrent.futures
         self._ingest_pool = concurrent.futures.ThreadPoolExecutor(1)
+        # separate worker for the ASYNC stream-out fetch job (it submits
+        # decode work to _ingest_pool — sharing one pool would deadlock)
+        self._out_pool = concurrent.futures.ThreadPoolExecutor(1)
+        self._out_job = None
+        self._pending_rows: list = []
+
+    def close(self):
+        """Release the workers (GeoWrapper._rebuild constructs fresh
+        Streamers; without this every rebuild leaked idle threads)."""
+        self.join()
+        self._ingest_pool.shutdown(wait=False)
+        self._out_pool.shutdown(wait=False)
+
+    def __del__(self):
+        try:
+            self._ingest_pool.shutdown(wait=False)
+            self._out_pool.shutdown(wait=False)
+        except Exception:
+            pass
+
+    def join(self):
+        """Wait for a pending async stream-out fetch/ingest job (no-op when
+        none is in flight)."""
+        job, self._out_job = self._out_job, None
+        if job is not None:
+            job.result()
 
     # -- out ----------------------------------------------------------------
     @staticmethod
@@ -450,7 +504,7 @@ class Streamer:
         self._pending_rows.append(
             self._ingest_pool.submit(unpack_transfer, buf_h))
 
-    def _flush_ingest(self):
+    def _flush_ingest(self, grid=None):
         """Chunk-grid insert of every fetched (worker-decoded) pass in one
         shot."""
         import time
@@ -464,18 +518,60 @@ class Streamer:
             tuple(np.concatenate(cols) for cols in zip(*fields)))
         block_world = (pos_h.astype(np.float64)
                        * P.SDF_BLOCK_SIZE * self.cfg.virtual_voxel_size)
-        self.grid.add_blocks(block_world, pos_h, res_h, sdf_h, ssq_h,
-                             w_h, rgb_h)
+        (self.grid if grid is None else grid).add_blocks(
+            block_world, pos_h, res_h, sdf_h, ssq_h, w_h, rgb_h)
         self.out_stats["ingest_s"] += time.perf_counter() - t0
 
+    def snapshot_into(self, state: MapState, grid: "ChunkGrid"):
+        """READ-ONLY collection of every device-resident block into `grid`
+        (single-chip twin of parallel.sharding.snapshot_to_grid): the
+        planned table is discarded and the pool is never cleared or
+        donated, so `state` stays live — the host-native extractMesh sweep
+        reads the snapshot while the map keeps integrating."""
+        self.join()
+        if not hasattr(self, "_plan_ro"):
+            self._plan_ro = jax.jit(functools.partial(plan_evictions,
+                                                      self.cfg))
+            self._pack_ro = jax.jit(functools.partial(
+                pack_evicted_pass, self.cfg, self.staging, clear=False))
+        _, n_evict, pos_all, res_all, ptr_all = self._plan_ro(
+            state.table, jnp.zeros((3,), jnp.float32), jnp.float32(0.0),
+            jnp.asarray(True))
+        n_evict = int(n_evict)
+        self.out_stats = dict(fetch_s=0.0, ingest_s=0.0, collect_s=0.0,
+                              plan_s=0.0, bytes=0, passes=0,
+                              blocks=n_evict)
+        if n_evict == 0:
+            return
+        pending = None
+        self._pending_rows = []
+        nd = jnp.int32(n_evict)
+        for off in range(0, n_evict, self.staging):
+            buf = self._pack_ro(state.pool, pos_all, res_all, ptr_all, nd,
+                                jnp.int32(off))
+            self.out_stats["passes"] += 1
+            if pending is not None:
+                self._fetch(pending)
+            pending = (buf, min(self.staging, n_evict - off))
+        self._fetch(pending)
+        self._flush_ingest(grid)
+
     def _stream_out_loop(self, state: MapState, cam_pos, radius, all_out,
-                         budget=0):
+                         budget=0, asynchronous=False):
         """Plan-once + pipelined pass loop: ONE full-table program frees
         every evicted entry and compacts the descriptors; each pass then
-        gathers + clears only staging-sized pool state.  Pass i+1 is
-        dispatched before pass i's host work (fetch + chunk insert) so the
-        transfer and the grid insert overlap the next device pass."""
+        gathers + clears only staging-sized pool state.
+
+        asynchronous=True: return as soon as the device passes are
+        DISPATCHED — the wire fetch, payload decode, and chunk-grid ingest
+        run on a worker thread and overlap subsequent frames' compute (the
+        reference overlaps its stream copies with CUDA events,
+        streamer.cpp:255-276; here the slow half is the tunnel D2H).  The
+        next stream/snapshot/serialize joins the job first; stream_in needs
+        no join because this trigger's evictions are all beyond `radius`
+        while stream_in pops within it (ChunkGrid is lock-guarded)."""
         import time
+        self.join()
         cam_pos = jnp.asarray(cam_pos, jnp.float32)
         radius = jnp.float32(radius)
         all_out = jnp.asarray(all_out)
@@ -492,7 +588,7 @@ class Streamer:
         if n_evict == 0:
             return state
         pool = state.pool
-        pending = None
+        staged = []
         self._pending_rows = []
         n_dev = jnp.int32(n_evict)
         for off in range(0, n_evict, self.staging):
@@ -501,20 +597,27 @@ class Streamer:
                                    jnp.int32(off))
             self.out_stats["collect_s"] += time.perf_counter() - t0
             self.out_stats["passes"] += 1
-            if pending is not None:
-                self._fetch(pending)
-            pending = (buf, min(self.staging, n_evict - off))
-        self._fetch(pending)
-        self._flush_ingest()
+            staged.append((buf, min(self.staging, n_evict - off)))
+
+        def drain():
+            for stg in staged:
+                self._fetch(stg)
+            self._flush_ingest()
+
+        if asynchronous:
+            self._out_job = self._out_pool.submit(drain)
+        else:
+            drain()
         return state.replace(pool=pool)
 
     def stream_out(self, state: MapState, cam_pos, radius,
-                   budget=0) -> MapState:
+                   budget=0, asynchronous=False) -> MapState:
         """streamOutToHostPass0 (streamer.cpp:168-247), looped over staging-
         sized passes instead of throwing on overflow (:181-186).  budget>0:
         evict only the `budget` farthest blocks beyond the radius (see
         plan_evictions)."""
-        return self._stream_out_loop(state, cam_pos, radius, False, budget)
+        return self._stream_out_loop(state, cam_pos, radius, False, budget,
+                                     asynchronous)
 
     def stream_all_out(self, state: MapState) -> MapState:
         """streamAllOut (streamer.cpp:249-281)."""
@@ -607,9 +710,14 @@ class Streamer:
         return state, owned_mask, dropped
 
     def stream(self, state: MapState, cam_pos, radius,
-               budget=0) -> MapState:
-        """stream (streamer.cpp:336-355): evict far, reload near."""
-        state = self.stream_out(state, cam_pos, radius, budget)
+               budget=0, asynchronous=False) -> MapState:
+        """stream (streamer.cpp:336-355): evict far, reload near.
+
+        asynchronous=True overlaps the eviction fetch/ingest with later
+        frames (see _stream_out_loop); the reload is safe to run before the
+        job lands because evictions are beyond `radius` and the reload pops
+        within it."""
+        state = self.stream_out(state, cam_pos, radius, budget, asynchronous)
         return self.stream_in(state, cam_pos, radius)
 
     # -- persistence (Serializer<T>, serializer.h:12-78) ---------------------
@@ -617,6 +725,7 @@ class Streamer:
         """Checkpoint the host chunk grid (serializeGrid,
         geowrapper.cpp:567-570).  Call stream_all_out first, like the
         reference protocol (SURVEY 5.4)."""
+        self.join()
         if not self.grid.chunks:
             np.savez(path, chunk_keys=np.zeros((0, 3), np.int64),
                      chunk_sizes=np.zeros((0,), np.int64))

@@ -461,9 +461,12 @@ class GeoWrapper:
             need = int(P.STREAM_TARGET * self.cfg.num_blocks) \
                 - self._high_free
             with self.streaming_profiler.event():
+                # asynchronous: only the device plan/pack dispatch is on
+                # the frame's critical path — the tunnel fetch + chunk
+                # ingest overlap the following frames' compute
                 self.state = self.streamer.stream(
                     self.state, self.curr_trans, self.camera.max_depth,
-                    budget=max(need, 0))
+                    budget=max(need, 0), asynchronous=True)
             self.streaming_profiler.write(self.streamer.grid.num_blocks())
             self._high_free = int(self.state.table.high_count)
 
@@ -666,6 +669,8 @@ class GeoWrapper:
         import time
         t_start = time.perf_counter()
         self._flush_resident()
+        if self._extract_mesh_host(filename, t_start):
+            return
         if not self.streamer.grid.chunks:
             # the whole map is resident on device: extract directly — the
             # stream-out + read-only re-insert cycle exists for maps the
@@ -711,6 +716,15 @@ class GeoWrapper:
                     loaded |= need
                     total += nb
                     i += 1
+                if total > budget:
+                    # only reachable for a singleton batch: its own
+                    # 27-neighborhood exceeds the device window, so
+                    # compact_active will truncate and owned blocks can
+                    # silently drop from the mesh (round-4 ADVICE #1)
+                    print(f"GeoWrapper::extractMesh | chunk batch needs "
+                          f"{total} blocks > device budget {budget}; the "
+                          "compacted window truncates — raise "
+                          "max_active_blocks / num_blocks")
                 groups, owned_parts = [], []
                 for c in sorted(loaded):
                     g = grid.chunks[c]
@@ -750,6 +764,69 @@ class GeoWrapper:
                              self.mesh.colors)
         print(f"GeoWrapper::extractMesh | written {self.mesh.vertices.shape[0]}"
               f" vertices and {self.mesh.faces.shape[0]} faces to {filename}")
+
+    def _extract_mesh_host(self, filename: str, t_start: float) -> bool:
+        """Host-native extractMesh (native/mrhash_mesh.cpp): READ-ONLY
+        snapshot of the device-resident blocks merged over the host chunk
+        grid, then the Transvoxel sweep runs in native code on the host
+        copy.  The payload crosses the tunnel ONCE (device->host) instead
+        of the round-4 path's out + read-only re-insert + device sweep
+        (271.7 s at Replica scale), and the device map stays LIVE (the
+        reference round-trips every chunk cube through the GPU,
+        geowrapper.cpp:150-230 — meshing is read-only, so this stack
+        doesn't have to).  Returns False (caller falls back to the device
+        sweep) when the native library is unavailable or
+        MRHASH_HOST_MESH=0."""
+        import os
+        import time
+
+        from mrhash_tpu import native
+        if os.environ.get("MRHASH_HOST_MESH", "1") == "0":
+            return False
+        if native.load() is None:
+            return False
+        from mrhash_tpu.core.streaming import ChunkGrid
+        snap = ChunkGrid(np.asarray(self.cfg.voxel_extents, np.float32))
+        # join any in-flight async stream-out, then shallow-copy: add_blocks
+        # replaces entries (never mutates groups), and snapshot blocks added
+        # AFTER the copy supersede stale RAM copies of the same key
+        # (ChunkGrid keeps the newest per pos)
+        self.streamer.join()
+        snap.chunks = dict(self.streamer.grid.chunks)
+        t0 = time.perf_counter()
+        self.streamer.snapshot_into(self.state, snap)
+        snap_s = time.perf_counter() - t0
+        self.mesh.reset()
+        t0 = time.perf_counter()
+        groups = list(snap.chunks.values())
+        if groups:
+            pos = np.concatenate([g["pos"] for g in groups])
+            res = np.concatenate([g["res"] for g in groups])
+            sdf = np.concatenate([g["sdf"] for g in groups])
+            w = np.concatenate([g["w"] for g in groups])
+            rgb = np.concatenate([g["rgb"] for g in groups])
+            out = native.extract_mesh_host(
+                pos, res, sdf, w, rgb, self.cfg.virtual_voxel_size,
+                self.cfg.voxel_extents, self.cfg.marching_cubes_threshold,
+                self.cfg.min_weight_threshold)
+            if out is None:
+                return False
+            tri_pos, tri_col = out
+            sweep_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if tri_pos.shape[0] > 0:
+                self.mesh.add_triangles(tri_pos, tri_col)
+            host_s = time.perf_counter() - t0
+            print("GeoWrapper::extractMesh | host-native phases "
+                  f"snap={snap_s:.1f} sweep={sweep_s:.1f} "
+                  f"dedup={host_s:.1f} blocks={pos.shape[0]} "
+                  f"total={time.perf_counter() - t_start:.1f}s")
+        plyio.write_mesh_ply(filename, self.mesh.vertices, self.mesh.faces,
+                             self.mesh.colors)
+        print(f"GeoWrapper::extractMesh | written "
+              f"{self.mesh.vertices.shape[0]} vertices and "
+              f"{self.mesh.faces.shape[0]} faces to {filename}")
+        return True
 
     # ------------------------------------------------------------------ GS
     def GSSavePointCloud(self, folder: str):
@@ -852,6 +929,7 @@ class GeoWrapper:
         self.state = make_state(self.cfg.num_blocks,
                                 self.cfg.num_buckets or None,
                                 self.cfg.resident_rows)
+        self.streamer.close()
         self.streamer = Streamer(self.cfg, self.streamer.staging)
         self._high_free = self.cfg.num_blocks
 
@@ -875,7 +953,13 @@ class GeoWrapper:
         self.cfg = dataclasses.replace(self.cfg, integration_weight_sample=int(v))
 
     def setIntegrationWeightMax(self, v):
-        self.cfg = dataclasses.replace(self.cfg, integration_weight_max=int(v))
+        # the streaming pack rides weight in rgb's spare byte (the reference
+        # stores uchar weight) — values past 255 would corrupt stream-out
+        if int(v) > 255:
+            print("GeoWrapper::setIntegrationWeightMax | clamping "
+                  f"{int(v)} to 255 (weight is uint8 on the wire)")
+        self.cfg = dataclasses.replace(
+            self.cfg, integration_weight_max=min(int(v), 255))
 
     def setVirtualVoxelSize(self, v):
         self._rebuild(virtual_voxel_size=float(v))

@@ -204,11 +204,16 @@ def _tile_pairs_compact(attrs, grid_x, grid_y, pair_cap):
     (rasterizer_impl.cu:65-96 after the CUB InclusiveSum of tiles_touched):
     pair p belongs to the gaussian whose cumulative tile count covers rank
     p, so the pair list is `total`-long instead of G * MAX_TILES_SIDE^2 —
-    the [tile|depth] sort is the per-iteration cost center (measured ~8 ms
-    of the 25 ms Adam iter at 1200x680), and it scales with the pair-list
-    LENGTH.  pair_cap bounds the list; ranks past the cap drop (generous
-    caps make this empty — callers default to 16 pairs/gaussian vs the
-    dense form's 64).  Returns (tile, depth, gidx, ok), all [pair_cap]."""
+    the [tile|depth] sort scales with the pair-list LENGTH.
+
+    rank -> gaussian resolves WITHOUT searchsorted (pair_cap * log2(G)
+    element gathers — measured as the round-4 3.5x regression vs the dense
+    form): each contributing gaussian scatters (its index, its start rank)
+    at position start_rank — starts are unique where touched > 0 — and one
+    running elementwise max fills every rank, both columns being
+    nondecreasing in rank.  pair_cap bounds the list; ranks past the cap
+    drop (surfaced via debug print — round-4 ADVICE #3).
+    Returns (tile, depth, gidx, ok), all [pair_cap]."""
     xy = attrs["xy"]
     r = attrs["radius"]
     rect_min_x = jnp.clip(((xy[:, 0] - r) / BLOCK).astype(jnp.int32), 0,
@@ -225,18 +230,33 @@ def _tile_pairs_compact(attrs, grid_x, grid_y, pair_cap):
     touched = jnp.where(attrs["valid"], w * h, 0)
     cs = jnp.cumsum(touched)
     total = cs[-1]
+    start = cs - touched                                  # exclusive cumsum
+    G = xy.shape[0]
+
+    contrib = (touched > 0) & (start < pair_cap)
+    idx = jnp.where(contrib, start, pair_cap)             # OOB lanes drop
+    fill = jnp.zeros((pair_cap, 2), jnp.int32).at[idx].max(
+        jnp.stack([jnp.arange(G, dtype=jnp.int32),
+                   jnp.where(contrib, start, 0)], axis=1),
+        mode="drop", unique_indices=True)
+    gb = jax.lax.associative_scan(jnp.maximum, fill, axis=0)
+    g, base = gb[:, 0], gb[:, 1]
 
     p = jnp.arange(pair_cap, dtype=jnp.int32)
-    g = jnp.searchsorted(cs, p, side="right").astype(jnp.int32)
     ok = p < jnp.minimum(total, pair_cap)
     g = jnp.where(ok, g, 0)
-    base = cs[g] - touched[g]
-    local = p - base
+    local = p - jnp.where(ok, base, 0)
     w_g = jnp.maximum(w[g], 1)
     tx = rect_min_x[g] + local % w_g
     ty = rect_min_y[g] + local // w_g
     tile = ty * grid_x + tx
     depth = attrs["depth"][g]
+    jax.lax.cond(
+        total > pair_cap,
+        lambda t: jax.debug.print(
+            "gs rasterizer: tile-pair overflow — {t} touched pairs > cap "
+            "{c}; tail-of-index gaussians dropped", t=t, c=pair_cap),
+        lambda t: None, total)
     return tile, depth, g, ok
 
 
@@ -360,8 +380,16 @@ def _blend_bwd(res, cts):
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 
 
+# above this static pair count, render's "auto" switches from the dense
+# broadcast expansion to the compact exact-count one: the dense form is
+# gather-free (pure broadcast) and measured 14.8 ms vs compact's 52.3 ms at
+# G=16k/1200x680 (BENCH_GS round 4) — compact only pays off once the 64x
+# dense sort list dwarfs the compact form's ~4 per-pair gathers
+PAIRS_AUTO_DENSE_MAX = 8 << 20
+
+
 def render(params, active, cam, bg_color, sh_degree, max_per_tile=128,
-           blend_impl="auto", pairs="compact"):
+           blend_impl="auto", pairs="auto"):
     """Full forward render -> (image f32[3,H,W], radii [G]).  Differentiable
     w.r.t. params through the gathered per-gaussian attributes.
 
@@ -370,18 +398,22 @@ def render(params, active, cam, bg_color, sh_degree, max_per_tile=128,
     BENCH_GS cap sweep) and the XLA scan elsewhere; "xla" / "pallas" /
     "pallas_interpret" force a path.
 
-    pairs: "compact" (default) uses the exact-count pair expansion capped
-    at 16 pairs/gaussian on average (_tile_pairs_compact — the [tile|depth]
-    sort shrinks ~4x); "dense" keeps the static 64-slots-per-gaussian form
-    (never drops a pair inside the 8x8 rect cap)."""
+    pairs: "auto" (default) picks "dense" — the static 64-slots-per-
+    gaussian broadcast form, which never drops a pair inside the 8x8 rect
+    cap — up to PAIRS_AUTO_DENSE_MAX dense pairs, and the exact-count
+    "compact" expansion (16 pairs/gaussian average cap) beyond, where the
+    dense sort list would dominate; either can be forced by name."""
     H, W = cam["H"], cam["W"]
     grid_x = (W + BLOCK - 1) // BLOCK
     grid_y = (H + BLOCK - 1) // BLOCK
     n_tiles = grid_x * grid_y
 
     attrs = preprocess(params, active, cam, sh_degree)
+    G = attrs["xy"].shape[0]
+    if pairs == "auto":
+        pairs = ("dense" if G * MAX_TILES_SIDE ** 2 <= PAIRS_AUTO_DENSE_MAX
+                 else "compact")
     if pairs == "compact":
-        G = attrs["xy"].shape[0]
         tile, depth, gidx, ok = _tile_pairs_compact(attrs, grid_x, grid_y,
                                                     pair_cap=16 * G)
     else:

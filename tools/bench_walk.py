@@ -110,8 +110,11 @@ def main():
           f"events, {fps:.2f} FPS on {dev}", file=sys.stderr)
 
     rows = [
+        # vs_baseline None: the corridor scene exists in no reference table
+        # (the 48.9 FPS Replica row is a different workload — round-4
+        # VERDICT weak #8), so the ratio would be non-comparable
         {"metric": "tsdf_streaming_walk_fps", "value": round(fps, 2),
-         "unit": "frames/s", "vs_baseline": round(fps / 48.9, 3)},
+         "unit": "frames/s", "vs_baseline": None},
         {"metric": "tsdf_streaming_walk_triggers", "value": triggers_timed,
          "unit": "events", "vs_baseline": None},
     ]
