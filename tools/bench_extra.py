@@ -370,11 +370,12 @@ def bench_lidar(multires=False):
     return rec
 
 
-def bench_occsweep():
+def bench_occsweep(mult=2, half=4.5):
     """Occupancy-sensitivity row (round-2 VERDICT weak/missing #1): the
-    headline Replica-like protocol with a 9 m box room (2.25x the surface
-    area of bench.py's 6 m room -> ~2x the block occupancy), single-res.
-    Shows the measured occupancy slope of the headline FPS claim."""
+    headline Replica-like protocol with a bigger box room (half=4.5 ->
+    2.25x the surface area of bench.py's 6 m room -> ~2x the block
+    occupancy; half=5.2 -> ~3x), single-res.  Shows the measured occupancy
+    slope of the headline FPS claim (occ3x row: round-4 VERDICT next #4)."""
     import jax
     import jax.numpy as jnp
 
@@ -409,7 +410,7 @@ def bench_occsweep():
         t = np.array([0.05 * np.sin(th), 0.02 * np.cos(th), 0.0], np.float32)
         return C.with_pose(cam0, jnp.asarray(rot), jnp.asarray(t))
 
-    depths = [synthetic_room_depth(rows, cols, frame_cam(i), rng, half=4.5)
+    depths = [synthetic_room_depth(rows, cols, frame_cam(i), rng, half=half)
               for i in range(orbit)]
 
     step = pipeline.jit_integrate_rgbd(cfg)
@@ -438,7 +439,7 @@ def bench_occsweep():
     final_occ = int(stats["occupied_blocks"])   # host fetch = real fence
     dt = (time.perf_counter() - t0) / n_frames
     fps = 1.0 / dt
-    rec = {"metric": "tsdf_integration_fps_replica_like_occ2x",
+    rec = {"metric": f"tsdf_integration_fps_replica_like_occ{mult}x",
            "value": round(fps, 2), "unit": "frames/s",
            "vs_baseline": round(fps / 48.9, 3)}
     print(json.dumps(rec))
@@ -448,7 +449,7 @@ def bench_occsweep():
 
 
 ALL = ("multires", "lidar", "lidar_multires", "scannet", "scannet_multires",
-       "occsweep")
+       "occsweep", "occsweep3")
 
 
 def main():
@@ -468,6 +469,8 @@ def main():
         recs.append(bench_scannet(multires=True))
     if "occsweep" in which:
         recs.append(bench_occsweep())
+    if "occsweep3" in which:
+        recs.append(bench_occsweep(mult=3, half=5.2))
     if which == set(ALL):
         out = os.path.join(os.path.dirname(__file__), "..",
                            "BENCH_EXTRA.json")

@@ -327,6 +327,7 @@ def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
     for r in rows_m:
         print(json.dumps(r))
 
+    recall_miss_diag = None
     if multires:
         # recall-miss diagnosis (round-3 VERDICT next #4): bucket GT points
         # with no mesh within 5 cm by the RESOLUTION of the block that owns
@@ -364,6 +365,14 @@ def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
                   f"res1={buckets[1]} unallocated={buckets[-1]}; map has "
                   f"{n_res1}/{res_all.shape[0]} res-1 blocks",
                   file=sys.stderr)
+            # published next to the metrics (round-4 VERDICT next #5)
+            recall_miss_diag = dict(
+                missed_gt_points=int(missed.shape[0]),
+                owner_res0=int(buckets[0]),
+                owner_res0_res1_adjacent=int(boundary0),
+                owner_res1=int(buckets[1]),
+                unallocated=int(buckets[-1]),
+                res1_blocks=n_res1, total_blocks=int(res_all.shape[0]))
     if write_json and res != "replica":
         print("# small preset: not writing QUALITY.json (committed artifact "
               "is replica-res only)", file=sys.stderr)
@@ -373,6 +382,8 @@ def run_quality(frames=40, res="replica", n_eval_points=2_000_000,
         entry = dict(scene=name, multires=bool(multires),
                      resolution=f"{cols}x{rows}", voxel=vvs, frames=n,
                      vertices=int(verts.shape[0]), metrics=rows_m)
+        if recall_miss_diag is not None:
+            entry["recall_miss_diag"] = recall_miss_diag
         path = os.path.join(os.path.dirname(__file__), "..", "QUALITY.json")
         try:
             with open(path) as f:
