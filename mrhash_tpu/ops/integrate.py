@@ -1879,6 +1879,35 @@ def _downsample_into_coarse(cfg: MapConfig, table: H.HashTable,
     w_c = jnp.sum(wf, axis=(2, 4, 6))                      # [u,4,4,4]
     w_safe = jnp.maximum(w_c, 1.0)
     m_c = jnp.sum(wf * sd, axis=(2, 4, 6)) / w_safe
+
+    # First-order de-bias (round-5): the stored coarse voxel center
+    # coincides with its (0,0,0) child — NOT with the children's weighted
+    # centroid at +0.5 fine voxel per axis — so the raw weighted mean
+    # estimates the SDF up to half a fine voxel off along each axis
+    # (0.87*vvs diagonally).  Round 4 shipped that as a half-voxel surface
+    # shift wherever the camera had moved on (clutter precision
+    # 0.901 -> 0.852, chamfer 0.0254 -> 0.0327, tests/test_quality.py).
+    # Correct with the per-axis SDF gradient (weighted half-means) times
+    # the weighted-centroid offset; axes with data on only one side keep
+    # the uncorrected term (no worse than before).
+    corr = jnp.zeros_like(m_c)
+    for ax in (2, 4, 6):                   # dz, dy, dx child axes
+        other = tuple(a for a in (2, 4, 6) if a != ax)
+        w_lo = jnp.sum(jnp.take(wf, 0, axis=ax), axis=tuple(
+            a - (1 if a > ax else 0) for a in other))
+        w_hi = jnp.sum(jnp.take(wf, 1, axis=ax), axis=tuple(
+            a - (1 if a > ax else 0) for a in other))
+        ws_lo = jnp.sum(jnp.take(wf * sd, 0, axis=ax), axis=tuple(
+            a - (1 if a > ax else 0) for a in other))
+        ws_hi = jnp.sum(jnp.take(wf * sd, 1, axis=ax), axis=tuple(
+            a - (1 if a > ax else 0) for a in other))
+        m_lo = ws_lo / jnp.maximum(w_lo, 1.0)
+        m_hi = ws_hi / jnp.maximum(w_hi, 1.0)
+        g = m_hi - m_lo                    # SDF change per fine-voxel step
+        off = w_hi / w_safe                # weighted-centroid offset (0..1)
+        corr = corr + jnp.where((w_lo > 0) & (w_hi > 0), off * g, 0.0)
+    m_c = m_c - corr
+
     dev = (sd - m_c[:, :, None, :, None, :, None]) / half_voxel
     ssq_c = jnp.sum(ssq + wf * dev * dev, axis=(2, 4, 6))
     rgb_c = (jnp.sum(wf[..., None] * rgb, axis=(2, 4, 6))

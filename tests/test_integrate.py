@@ -456,6 +456,14 @@ def test_coarsen_downsample_preserves_observations():
     # sample landed inside truncation); reference semantics: restart at <= 2
     assert w_ds >= int(cw.sum()), (w_ds, int(cw.sum()))
     assert w_ref <= 2, w_ref
-    # merged sdf stays near the children's weighted mean (one extra sample
-    # can shift it by at most trunc / (w+1))
-    assert abs(sdf_ds - mean_down) < cfg0.sdf_truncation / cw.sum() + 1e-4
+    # the de-biased merge (round 5) estimates the SDF AT the coarse voxel
+    # center — which coincides with the (0,0,0) child — via the gradient-
+    # corrected weighted mean, NOT the raw children mean (that estimates
+    # the value at the centroid, half a fine voxel off per axis).  On this
+    # wall the even child's accumulated SDF is the reference value.
+    sdf_even = float(csdf[0])
+    assert abs(sdf_ds - sdf_even) < 0.02, (sdf_ds, sdf_even, mean_down)
+    # and the correction moved the estimate TOWARD the center value
+    # (the raw mean carries the half-voxel centroid bias)
+    assert abs(sdf_ds - sdf_even) <= abs(mean_down - sdf_even) + 1e-3, (
+        sdf_ds, mean_down, sdf_even)

@@ -16,12 +16,15 @@ def test_box_room_quality_small():
                        mesh_path="/tmp/quality_mesh_test.ply",
                        write_json=False)
     r5 = next(r for r in rows if r["threshold"] == 0.05)
-    # tight gates (round-2 VERDICT item 7): the calibrated protocol measures
-    # 0.018 m / 0.993 / 0.997 — these bounds fail on a <1.4x regression
-    # instead of the old 2x-slack 0.035 / 0.90 thresholds
+    # tight gates (round-2 VERDICT item 7), recalibrated round 5: the
+    # protocol measures P=0.9701 at round-3 HEAD and P=0.9697 at round-5
+    # HEAD (same mesh to the triangle; the 4e-4 delta is face-order
+    # sampling noise in sample_mesh_points), so the old 0.97 precision
+    # gate sat INSIDE the noise band — 0.965 keeps <1.4x-regression
+    # sensitivity without flaking
     assert r5["chamfer_l1"] < 0.025, r5
     assert r5["fscore"] > 0.97, r5
-    assert r5["precision"] > 0.97, r5
+    assert r5["precision"] > 0.965, r5
 
 
 def test_clutter_room_quality_small_multires():
@@ -29,15 +32,19 @@ def test_clutter_room_quality_small_multires():
     CLUTTER_OBJECTS) with variance coarsening ON: exercises depth
     discontinuities in the tile allocator and the mixed-resolution
     boundary meshing (D1/D5/D6) that the empty box room never hits.
-    Calibrated on this protocol: Chamfer 0.0254 m / F 0.876 / P 0.901
-    @5cm with coarsening on (single-res sweep extract measures
-    0.0246 / 0.930 — the recall drop is the coarse-region meshing)."""
+    Calibrated on this protocol (round 5, de-biased downsample-merge):
+    Chamfer 0.0249 m / F 0.928 / P 0.897 / R 0.961 @5cm with coarsening on
+    (single-res sweep extract measures 0.0246 / 0.930 — the multi-res
+    F gap is ~0.002 on this preset).  History: round 3 (merge off)
+    0.0256 / 0.873 / 0.902 / 0.846; round 4's biased merge
+    0.0327 / 0.895 / 0.852 / 0.942 (the half-voxel centroid bias,
+    ops/integrate._downsample_into_coarse)."""
     from quality_eval import run_quality
     rows = run_quality(frames=12, res="small", n_eval_points=100_000,
                        mesh_path="/tmp/quality_mesh_clutter.ply",
                        write_json=False, scene="clutter", multires=True,
                        extract_mode="resident")
     r5 = next(r for r in rows if r["threshold"] == 0.05)
-    assert r5["chamfer_l1"] < 0.030, r5
-    assert r5["fscore"] > 0.85, r5
+    assert r5["chamfer_l1"] < 0.028, r5
+    assert r5["fscore"] > 0.90, r5
     assert r5["precision"] > 0.87, r5
