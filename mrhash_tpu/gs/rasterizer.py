@@ -251,12 +251,17 @@ def _tile_pairs_compact(attrs, grid_x, grid_y, pair_cap):
     ty = rect_min_y[g] + local // w_g
     tile = ty * grid_x + tx
     depth = attrs["depth"][g]
-    jax.lax.cond(
-        total > pair_cap,
-        lambda t: jax.debug.print(
-            "gs rasterizer: tile-pair overflow — {t} touched pairs > cap "
-            "{c}; tail-of-index gaussians dropped", t=t, c=pair_cap),
-        lambda t: None, total)
+    # overflow surfacing (round-4 ADVICE #3); debug.print rides a host
+    # callback, which the axon (tunnelled TPU) PJRT backend does not
+    # implement (it registers as plain "tpu", so gate to CPU) — on TPU the
+    # drop stays silent, but every CPU test/dev run reports it
+    if jax.default_backend() == "cpu":
+        jax.lax.cond(
+            total > pair_cap,
+            lambda t: jax.debug.print(
+                "gs rasterizer: tile-pair overflow — {t} touched pairs > "
+                "cap {c}; tail-of-index gaussians dropped", t=t, c=pair_cap),
+            lambda t: None, total)
     return tile, depth, g, ok
 
 
