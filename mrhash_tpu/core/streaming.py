@@ -230,13 +230,17 @@ PACK_COLS = 4 + 3 * LANES
 
 def pack_evicted_pass(cfg: MapConfig, staging: int, pool,
                       pos_all, res_all, ptr_all, n_evict, offset,
-                      clear: bool = True):
+                      clear: bool = True, with_ssq: bool = True):
     """Gather one staging-sized pass of planned evictions into a SINGLE
     packed i32 buffer (one device->host transfer per pass) and zero the
     gathered pool rows/windows.  Returns (pool', packed[S, PACK_COLS]).
 
     clear=False (static): READ-ONLY gather for snapshots — the pool is
-    untouched and only `packed` is returned (no donated/copied pool)."""
+    untouched and only `packed` is returned (no donated/copied pool).
+    with_ssq=False (static): drop the sumsq lanes from the payload — the
+    mesh snapshot never reads variance, and sumsq is a third of the
+    tunnel-bound transfer (unpack_transfer infers the layout from the
+    buffer width)."""
     S = staging
     # pad so offset+S never exceeds the array (dynamic_slice would clamp
     # the start backwards and desync the valid mask on the last pass)
@@ -268,7 +272,8 @@ def pack_evicted_pass(cfg: MapConfig, staging: int, pool,
                          jnp.concatenate([win, pad], axis=1), r)
 
     sdf_bits = jax.lax.bitcast_convert_type(sel_rows(pool.sdf), jnp.int32)
-    ssq_bits = jax.lax.bitcast_convert_type(sel_rows(pool.sumsq), jnp.int32)
+    ssq_bits = (jax.lax.bitcast_convert_type(sel_rows(pool.sumsq), jnp.int32)
+                if with_ssq else None)
     # weight rides rgb's spare byte (reference stores uchar weight,
     # voxel_data_structures.cuh): clamp defensively — a weight > 255 would
     # wrap through << 24 and corrupt both fields (setIntegrationWeightMax
@@ -284,10 +289,11 @@ def pack_evicted_pass(cfg: MapConfig, staging: int, pool,
         [jnp.where(valid[:, None], pos, 0), jnp.where(valid, res, 0)[:, None]],
         axis=1)
     z = jnp.zeros((), jnp.int32)
-    packed = jnp.concatenate(
-        [desc, jnp.where(valid[:, None], sdf_bits, z),
-         jnp.where(valid[:, None], ssq_bits, z),
-         jnp.where(valid[:, None], wrgb, z)], axis=1)
+    cols = [desc, jnp.where(valid[:, None], sdf_bits, z)]
+    if with_ssq:
+        cols.append(jnp.where(valid[:, None], ssq_bits, z))
+    cols.append(jnp.where(valid[:, None], wrgb, z))
+    packed = jnp.concatenate(cols, axis=1)
     if not clear:
         return packed
     return pool, packed
@@ -296,11 +302,18 @@ def pack_evicted_pass(cfg: MapConfig, staging: int, pool,
 def unpack_transfer(buf_h: np.ndarray):
     """Host-side decode of pack_evicted_pass rows into the chunk-grid field
     layout (exact: sdf/sumsq are bit-cast, weight<=255 rides rgb's spare
-    byte)."""
+    byte).  A 4+2*512-wide buffer is the with_ssq=False mesh-snapshot
+    layout (sumsq decodes as zeros)."""
     L = LANES
     pos = buf_h[:, 0:3].copy()
     res = buf_h[:, 3].copy()
     sdf = np.ascontiguousarray(buf_h[:, 4:4 + L]).view(np.float32)
+    if buf_h.shape[1] == 4 + 2 * L:          # mesh-only payload
+        ssq = np.zeros_like(sdf)
+        u = np.ascontiguousarray(buf_h[:, 4 + L:4 + 2 * L]).view(np.uint32)
+        w = (u >> 24).astype(np.int32)
+        rgb = (u & np.uint32(0xFFFFFF)).astype(np.int32)
+        return pos, res, sdf, ssq, w, rgb
     ssq = np.ascontiguousarray(buf_h[:, 4 + L:4 + 2 * L]).view(np.float32)
     u = np.ascontiguousarray(buf_h[:, 4 + 2 * L:4 + 3 * L]).view(np.uint32)
     w = (u >> 24).astype(np.int32)
@@ -469,10 +482,16 @@ class Streamer:
             t <<= 1
         return t
 
-    # fetches are sliced: the axon tunnel's effective D2H rate HALVES on
-    # very large single transfers (measured 18.3 MB/s at 25 MB fetches vs
-    # 8.3 MB/s at 202 MB, tools/bench_streaming.py round 4)
-    FETCH_SLICE = 8192
+    # fetches are sliced to ~24 MB: the axon tunnel's effective D2H rate
+    # HALVES on very large single transfers (measured 18.3 MB/s at 25 MB
+    # fetches vs 8.3 MB/s at 202 MB, tools/bench_streaming.py round 4).
+    # Row count derives from the buffer width (pow2 so slice programs
+    # stay few and cached).
+    FETCH_TARGET_BYTES = 24 << 20
+
+    def _fetch_slice_rows(self, row_i32s: int) -> int:
+        rows = max(self.FETCH_TARGET_BYTES // (row_i32s * 4), 1024)
+        return 1 << (rows.bit_length() - 1)
 
     def _fetch(self, staged):
         """Wire half of a stream-out pass: fetch the packed payload (sliced
@@ -487,8 +506,9 @@ class Streamer:
             return
         t0 = time.perf_counter()
         k = min(self._fetch_rows(n), buf.shape[0])
-        slices = [buf[off:min(off + self.FETCH_SLICE, k)]
-                  for off in range(0, k, self.FETCH_SLICE)]
+        sl_rows = self._fetch_slice_rows(buf.shape[1])
+        slices = [buf[off:min(off + sl_rows, k)]
+                  for off in range(0, k, sl_rows)]
         for s in slices:
             try:
                 s.copy_to_host_async()
@@ -522,33 +542,47 @@ class Streamer:
             block_world, pos_h, res_h, sdf_h, ssq_h, w_h, rgb_h)
         self.out_stats["ingest_s"] += time.perf_counter() - t0
 
-    def snapshot_into(self, state: MapState, grid: "ChunkGrid"):
+    def snapshot_into(self, state: MapState, grid: "ChunkGrid",
+                      mesh_only: bool = False):
         """READ-ONLY collection of every device-resident block into `grid`
         (single-chip twin of parallel.sharding.snapshot_to_grid): the
         planned table is discarded and the pool is never cleared or
         donated, so `state` stays live — the host-native extractMesh sweep
-        reads the snapshot while the map keeps integrating."""
+        reads the snapshot while the map keeps integrating.
+
+        mesh_only=True drops the sumsq lanes from the payload (meshing
+        never reads variance; the transfer is tunnel-bound and sumsq is a
+        third of it) — the grid's ssq fields decode as zeros, so such a
+        snapshot must NOT be merged back into a live map."""
+        import time
         self.join()
+        key = "_pack_ro_mesh" if mesh_only else "_pack_ro"
         if not hasattr(self, "_plan_ro"):
             self._plan_ro = jax.jit(functools.partial(plan_evictions,
                                                       self.cfg))
-            self._pack_ro = jax.jit(functools.partial(
-                pack_evicted_pass, self.cfg, self.staging, clear=False))
+        if not hasattr(self, key):
+            setattr(self, key, jax.jit(functools.partial(
+                pack_evicted_pass, self.cfg, self.staging, clear=False,
+                with_ssq=not mesh_only)))
+        self._pack_ro = getattr(self, key)
+        t0 = time.perf_counter()
         _, n_evict, pos_all, res_all, ptr_all = self._plan_ro(
             state.table, jnp.zeros((3,), jnp.float32), jnp.float32(0.0),
             jnp.asarray(True))
         n_evict = int(n_evict)
         self.out_stats = dict(fetch_s=0.0, ingest_s=0.0, collect_s=0.0,
-                              plan_s=0.0, bytes=0, passes=0,
-                              blocks=n_evict)
+                              plan_s=time.perf_counter() - t0, bytes=0,
+                              passes=0, blocks=n_evict)
         if n_evict == 0:
             return
         pending = None
         self._pending_rows = []
         nd = jnp.int32(n_evict)
         for off in range(0, n_evict, self.staging):
+            t0 = time.perf_counter()
             buf = self._pack_ro(state.pool, pos_all, res_all, ptr_all, nd,
                                 jnp.int32(off))
+            self.out_stats["collect_s"] += time.perf_counter() - t0
             self.out_stats["passes"] += 1
             if pending is not None:
                 self._fetch(pending)

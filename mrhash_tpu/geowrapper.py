@@ -794,8 +794,16 @@ class GeoWrapper:
         self.streamer.join()
         snap.chunks = dict(self.streamer.grid.chunks)
         t0 = time.perf_counter()
-        self.streamer.snapshot_into(self.state, snap)
+        self.streamer.snapshot_into(self.state, snap, mesh_only=True)
         snap_s = time.perf_counter() - t0
+        os_ = getattr(self.streamer, "out_stats", {})
+        if os_.get("blocks"):
+            mbs = os_["bytes"] / max(os_["fetch_s"], 1e-9) / 1e6
+            print("GeoWrapper::extractMesh | snapshot phases "
+                  f"plan={os_['plan_s']:.1f} pack={os_['collect_s']:.1f} "
+                  f"fetch={os_['fetch_s']:.1f} ({mbs:.1f} MB/s) "
+                  f"ingest={os_['ingest_s']:.1f} "
+                  f"payload={os_['bytes'] / 1e6:.0f}MB")
         self.mesh.reset()
         t0 = time.perf_counter()
         groups = list(snap.chunks.values())

@@ -131,12 +131,33 @@ struct Vox {
   bool found;
 };
 
+// Per-block 27-neighbor cache (mirrors ops/meshing.build_ring): every probe
+// a cell's extraction can make lies within +-1 block of its owner, so the
+// hash find collapses to offset arithmetic + one array read.  Out-of-ring
+// probes (shouldn't happen; kept exact) fall back to the hash.
+struct Ring {
+  int64_t nb[27];
+  int32_t bx, by, bz;
+};
+
+inline int64_t ring_or_find(const HostMap& m, const Ring* ring,
+                            const int32_t blk[3]) {
+  if (ring) {
+    int dx = blk[0] - ring->bx, dy = blk[1] - ring->by, dz = blk[2] - ring->bz;
+    if ((unsigned)(dx + 1) <= 2 && (unsigned)(dy + 1) <= 2 &&
+        (unsigned)(dz + 1) <= 2)
+      return ring->nb[(dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)];
+  }
+  return m.idx.find(blk[0], blk[1], blk[2]);
+}
+
 // ops/meshing.py::get_voxel (voxel_data_structures.cu:162-205)
-inline Vox get_voxel(const HostMap& m, const float p[3]) {
+inline Vox get_voxel(const HostMap& m, const float p[3],
+                     const Ring* ring = nullptr) {
   int32_t pi[3], blk[3];
   w2v(m, p, pi);
   v2b(m, pi, blk);
-  int64_t bi = m.idx.find(blk[0], blk[1], blk[2]);
+  int64_t bi = ring_or_find(m, ring, blk);
   if (bi < 0) return {0.f, 0, {{0.f, 0.f, 0.f}}, 0, false};
   int32_t res = m.bres[bi];
   int32_t scale = 1 << res, side = BS >> res;
@@ -153,11 +174,12 @@ inline Vox get_voxel(const HostMap& m, const float p[3]) {
 
 // ops/meshing.py::get_voxel_size (res 0 when unallocated — quirk kept)
 inline float get_voxel_size(const HostMap& m, const float p[3],
-                            int32_t* res_out = nullptr) {
+                            int32_t* res_out = nullptr,
+                            const Ring* ring = nullptr) {
   int32_t pi[3], blk[3];
   w2v(m, p, pi);
   v2b(m, pi, blk);
-  int64_t bi = m.idx.find(blk[0], blk[1], blk[2]);
+  int64_t bi = ring_or_find(m, ring, blk);
   int32_t res = bi >= 0 ? m.bres[bi] : 0;
   if (res_out) *res_out = res;
   return m.vvs * (float)(1 << res);
@@ -172,11 +194,12 @@ inline void corner(int k, float c[3]) {
 
 // ops/meshing.py::trilinear_interpolation (cu:260-338 with the true-owner
 // base_res deviation, DESIGN.md D5)
-inline bool trilinear(const HostMap& m, const float pos[3], float* dist) {
+inline bool trilinear(const HostMap& m, const float pos[3], float* dist,
+                      const Ring* ring = nullptr) {
   int32_t base_res;
-  float vs = get_voxel_size(m, pos, &base_res);
+  float vs = get_voxel_size(m, pos, &base_res, ring);
   float pd[3] = {pos[0] - 0.5f * vs, pos[1] - 0.5f * vs, pos[2] - 0.5f * vs};
-  Vox pv = get_voxel(m, pd);
+  Vox pv = get_voxel(m, pd, ring);
   float s[8];
   bool valid = true;
   float pmax[3] = {pd[0], pd[1], pd[2]};
@@ -184,13 +207,13 @@ inline bool trilinear(const HostMap& m, const float pos[3], float* dist) {
     float c[3];
     corner(k, c);
     float vp[3] = {pd[0] + c[0] * vs, pd[1] + c[1] * vs, pd[2] + c[2] * vs};
-    Vox v = get_voxel(m, vp);
+    Vox v = get_voxel(m, vp, ring);
     valid = valid && (v.w > 0);
     float nvs = vs * 2.0f;
     float nvp[3] = {pos[0] - 0.5f * nvs + c[0] * nvs,
                     pos[1] - 0.5f * nvs + c[1] * nvs,
                     pos[2] - 0.5f * nvs + c[2] * nvs};
-    Vox cv = get_voxel(m, nvp);
+    Vox cv = get_voxel(m, nvp, ring);
     s[k] = (v.res > base_res) ? (0.5f * pv.sdf + 0.5f * cv.sdf) : v.sdf;
     for (int a = 0; a < 3; ++a) pmax[a] = std::max(pmax[a], vp[a]);
   }
@@ -211,14 +234,14 @@ inline bool trilinear(const HostMap& m, const float pos[3], float* dist) {
 
 // ops/meshing.py::_check_vertex_voxels (marching_cubes.cu:6-69)
 inline void check_vertex_voxels(const HostMap& m, const float pf[3], float vs,
-                                float sp[3], float sm[3]) {
+                                float sp[3], float sm[3], const Ring* ring) {
   for (int axis = 0; axis < 3; ++axis) {
     float pp[3] = {pf[0], pf[1], pf[2]};
     pp[axis] += sp[axis];
-    float nvs_p = get_voxel_size(m, pp);
+    float nvs_p = get_voxel_size(m, pp, nullptr, ring);
     float pm[3] = {pf[0], pf[1], pf[2]};
     pm[axis] += sm[axis];
-    float nvs_m = get_voxel_size(m, pm);
+    float nvs_m = get_voxel_size(m, pm, nullptr, ring);
     if (nvs_p > 0.f && nvs_p < 1.0f && nvs_p != vs) sp[axis] *= 0.499f;
     if (nvs_m > 0.f && nvs_m < 1.0f && nvs_m != vs) sm[axis] *= 0.499f;
   }
@@ -231,12 +254,12 @@ struct MeshOut {
 
 // ops/meshing.py::extract_cells on one cell (marching_cubes.cu:71-261)
 void extract_cell(const HostMap& m, const float pf[3], float mc_thr,
-                  int32_t min_w, MeshOut& out) {
-  float vs = get_voxel_size(m, pf);
+                  int32_t min_w, MeshOut& out, const Ring* ring) {
+  float vs = get_voxel_size(m, pf, nullptr, ring);
   float half = 0.5f * vs;
   float sp[3] = {half, half, half};
   float sm[3] = {-half, -half, -half};
-  check_vertex_voxels(m, pf, vs, sp, sm);
+  check_vertex_voxels(m, pf, vs, sp, sm, ring);
 
   float d[8];
   V3f cols[8];
@@ -248,8 +271,8 @@ void extract_cell(const HostMap& m, const float pf[3], float mc_thr,
     for (int a = 0; a < 3; ++a)
       ppos[k][a] = pf[a] + (c[a] != 0.f ? sp[a] : sm[a]);
     float dist;
-    bool tri_ok = trilinear(m, ppos[k], &dist);
-    Vox v = get_voxel(m, ppos[k]);
+    bool tri_ok = trilinear(m, ppos[k], &dist, ring);
+    Vox v = get_voxel(m, ppos[k], ring);
     d[k] = tri_ok ? dist : v.sdf;
     ok = ok && (tri_ok || v.w >= min_w);
     cols[k] = v.rgb;
@@ -333,6 +356,15 @@ void* mrhash_mesh_extract(int64_t n, const int32_t* bpos, const int32_t* bres,
     int32_t bx = bpos[3 * b] * BS, by = bpos[3 * b + 1] * BS,
             bz = bpos[3 * b + 2] * BS;
     float vsb = vvs * (float)scale;
+    Ring ring;
+    ring.bx = bpos[3 * b];
+    ring.by = bpos[3 * b + 1];
+    ring.bz = bpos[3 * b + 2];
+    for (int dz = -1; dz <= 1; ++dz)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dx = -1; dx <= 1; ++dx)
+          ring.nb[(dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)] =
+              m.idx.find(ring.bx + dx, ring.by + dy, ring.bz + dz);
     for (int lz = 0; lz < side; ++lz) {
       for (int ly = 0; ly < side; ++ly) {
         for (int lx = 0; lx < side; ++lx) {
@@ -346,9 +378,9 @@ void* mrhash_mesh_extract(int64_t n, const int32_t* bpos, const int32_t* bres,
             float vp[3] = {pf[0] + (c[0] - 0.5f) * vsb,
                            pf[1] + (c[1] - 0.5f) * vsb,
                            pf[2] + (c[2] - 0.5f) * vsb};
-            gate = get_voxel(m, vp).w > 0;
+            gate = get_voxel(m, vp, &ring).w > 0;
           }
-          if (gate) extract_cell(m, pf, mc_thr, min_w, *out);
+          if (gate) extract_cell(m, pf, mc_thr, min_w, *out, &ring);
         }
       }
     }
