@@ -460,12 +460,26 @@ class GeoWrapper:
             self._drop_resident()
             need = int(P.STREAM_TARGET * self.cfg.num_blocks) \
                 - self._high_free
+            # protect radius covers the FULL frustum, not just the optical
+            # axis: a wall point at depth max_depth near the image corner
+            # sits at euclidean distance max_depth*|(1, tanx, tany)| > the
+            # reference's max_depth radius (geowrapper.cpp:137-138), and
+            # evicting that still-visible shell re-allocates it next frame
+            # — measured as a heap-drain death spiral on the corridor walk
+            # (trigger every few frames, 9-11 s each).  +0.5 m margin
+            # absorbs the block-min-corner distance metric.
+            c = self.camera
+            tanx = c.cols / (2.0 * c.fx)
+            tany = c.rows / (2.0 * c.fy)
+            protect = float(c.max_depth
+                            * np.sqrt(1.0 + tanx * tanx + tany * tany)
+                            + 0.5)
             with self.streaming_profiler.event():
                 # asynchronous: only the device plan/pack dispatch is on
                 # the frame's critical path — the tunnel fetch + chunk
                 # ingest overlap the following frames' compute
                 self.state = self.streamer.stream(
-                    self.state, self.curr_trans, self.camera.max_depth,
+                    self.state, self.curr_trans, protect,
                     budget=max(need, 0), asynchronous=True)
             self.streaming_profiler.write(self.streamer.grid.num_blocks())
             self._high_free = int(self.state.table.high_count)

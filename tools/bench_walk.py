@@ -55,8 +55,11 @@ def tube_depth(cx, cy, fx, fy, off_x, off_y):
 
 def main():
     ap = argparse.ArgumentParser()
+    # first trigger lands ~frame 140 at 1<<16 capacity (~300 new
+    # blocks/frame after the initial 14k-block visible tube): warm must
+    # cover it so the timed window is steady-state streaming
     ap.add_argument("--frames", type=int, default=120)
-    ap.add_argument("--warm", type=int, default=60)
+    ap.add_argument("--warm", type=int, default=150)
     args = ap.parse_args()
 
     from mrhash_tpu.utils.cache import enable_compilation_cache
@@ -65,13 +68,21 @@ def main():
 
     from mrhash_tpu.geowrapper import GeoWrapper
 
-    num_blocks = 1 << 15
+    # capacity must hold the PROTECTED set (frustum-corner radius ~6.6 m
+    # of tube ~= 26k blocks) UNDER the stream watermark (0.35), or no
+    # eviction budget can ever recover the heap and the trigger fires
+    # every frame (measured: 107 triggers / 120 frames, 0.46 FPS at
+    # 1<<15).  1<<16 puts the watermark at 43k occupied vs the 26k
+    # working set — the same sizing rule the reference implies by keeping
+    # its stream radius inside device capacity (streamer.cpp:168-247).
+    num_blocks = 1 << 16
     gw = GeoWrapper(sdf_truncation=0.07, sdf_truncation_scale=0.0,
                     integration_weight_sample=1, virtual_voxel_size=0.01,
                     n_frames_invalidate_voxels=100, voxel_extents_scale=1,
                     gs_optimization_param_path="",
                     num_blocks=num_blocks, max_active_blocks=1 << 15,
                     max_alloc_per_frame=1 << 13, profiling=False)
+    gw.setHashNumBuckets(1 << 14)   # load <= 0.4 at full occupancy
     gw.cfg = dataclasses.replace(gw.cfg, alloc_tile=4, starve_bands=8)
     gw.setCamera(600.0, 600.0, 599.5, 339.5, ROWS, COLS, 0.01, MAXD)
 
