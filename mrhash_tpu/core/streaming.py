@@ -435,6 +435,9 @@ class Streamer:
                               * 1.0)
         self._plan = jax.jit(functools.partial(plan_evictions, cfg),
                              donate_argnums=(0,))
+        # NOTE: the eviction payload must keep the sumsq lanes — sumsq
+        # accumulates even on single-res maps (variance is data, not
+        # config), so only the discard-after-use mesh snapshot may drop it
         self._pack = jax.jit(functools.partial(
             pack_evicted_pass, cfg, self.staging), donate_argnums=(0,))
         self._insert = jax.jit(functools.partial(
@@ -469,6 +472,10 @@ class Streamer:
         job, self._out_job = self._out_job, None
         if job is not None:
             job.result()
+
+    def busy(self) -> bool:
+        """True while an async stream-out fetch/ingest job is in flight."""
+        return self._out_job is not None and not self._out_job.done()
 
     # -- out ----------------------------------------------------------------
     @staticmethod
@@ -634,9 +641,16 @@ class Streamer:
             staged.append((buf, min(self.staging, n_evict - off)))
 
         def drain():
+            import os
+            t0 = time.perf_counter()
             for stg in staged:
                 self._fetch(stg)
+            t1 = time.perf_counter()
             self._flush_ingest()
+            if os.environ.get("MRHASH_STREAM_DEBUG") == "1":
+                print(f"Streamer | drain job: fetch {t1 - t0:.2f}s "
+                      f"ingest {time.perf_counter() - t1:.2f}s "
+                      f"({n_evict} blocks)", flush=True)
 
         if asynchronous:
             self._out_job = self._out_pool.submit(drain)
@@ -751,8 +765,20 @@ class Streamer:
         frames (see _stream_out_loop); the reload is safe to run before the
         job lands because evictions are beyond `radius` and the reload pops
         within it."""
+        import os
+        import time
+        dbg = os.environ.get("MRHASH_STREAM_DEBUG") == "1"
+        t0 = time.perf_counter()
         state = self.stream_out(state, cam_pos, radius, budget, asynchronous)
-        return self.stream_in(state, cam_pos, radius)
+        t1 = time.perf_counter()
+        state = self.stream_in(state, cam_pos, radius)
+        if dbg:
+            os_ = self.out_stats
+            print(f"Streamer | stream dbg: out-dispatch {t1 - t0:.2f}s "
+                  f"(plan {os_['plan_s']:.2f} pack {os_['collect_s']:.2f}, "
+                  f"{os_['blocks']} blocks, {os_['passes']} passes) "
+                  f"in {time.perf_counter() - t1:.2f}s", flush=True)
+        return state
 
     # -- persistence (Serializer<T>, serializer.h:12-78) ---------------------
     def serialize_grid(self, path):

@@ -270,13 +270,26 @@ class GeoWrapper:
         self.camera_in_lidar = np.asarray(camera_in_lidar, np.float32)
 
     def setDepthImage(self, depth):
-        depth = np.asarray(depth, np.float32)
+        # device (jax) arrays pass through zero-copy: callers that re-feed
+        # pre-staged frames (viewers, benches) must not pay a device->host
+        # round trip here + a re-upload in compute()
+        if not isinstance(depth, jnp.ndarray):
+            depth = np.asarray(depth, np.float32)
+        elif depth.dtype != jnp.float32:
+            depth = depth.astype(jnp.float32)
         if depth.ndim != 2:
             raise ValueError("setDepthImage: expected a 2D array")
         self._depth_img = depth
         self._points = None
 
     def setRGBImage(self, rgb):
+        if isinstance(rgb, jnp.ndarray):
+            if rgb.dtype != jnp.uint8:
+                rgb = rgb.astype(jnp.uint8)
+            if rgb.ndim != 3 or rgb.shape[2] != 3:
+                raise ValueError("setRGBImage: expected [H,W,3]")
+            self._rgb_img = rgb
+            return
         rgb = np.asarray(rgb, np.uint8)
         if rgb.ndim != 3 or rgb.shape[2] != 3:
             raise ValueError("setRGBImage: expected an HxWx3 uint8 array")
@@ -449,6 +462,24 @@ class GeoWrapper:
                                        self.cfg.resident_rows))
             self._resident_dirty = False
 
+    def _consume_stats(self, stats):
+        """Fold a (previous frame's) stats dict into the host mirrors."""
+        self._last_occupied = int(stats["occupied_blocks"])
+        if "occupied_total" in stats:
+            self._last_occupied_total = int(stats["occupied_total"])
+        self._high_free = int(stats["high_free"])
+        if "res0_demand" in stats:
+            self._last_res0_demand = int(stats["res0_demand"])
+            self._last_rows1_demand = int(stats["rows1_demand"])
+
+    def _drain_stats(self):
+        """Consume any pending async stats (callers leaving the per-frame
+        loop — extractMesh, serialize — want current values)."""
+        pending = getattr(self, "_pending_stats", None)
+        if pending is not None:
+            self._pending_stats = None
+            self._consume_stats(pending)
+
     def compute(self):
         """Per-frame step (geowrapper.cpp:118-148)."""
         cam = C.with_pose(self.camera, self.curr_rot, self.curr_trans)
@@ -456,10 +487,27 @@ class GeoWrapper:
         # stream when the high heap runs low (geowrapper.cpp:137-138);
         # budgeted farthest-first eviction recovers the heap to the
         # STREAM_TARGET watermark in one event (plan_evictions docstring)
-        if self._high_free <= P.STREAM_THRESHOLD * self.cfg.num_blocks:
+        free_floor = self._high_free <= (P.STREAM_THRESHOLD / 2.0
+                                         * self.cfg.num_blocks)
+        if (self._high_free <= P.STREAM_THRESHOLD * self.cfg.num_blocks
+                and (not self.streamer.busy() or free_floor)):
+            # CONVEYOR streaming on a slow link: while the previous
+            # trigger's wire fetch is in flight, DEFER instead of stalling
+            # in its join; evict in staging-sized chunks (one ~25 MB pass
+            # per event) so the tunnel streams quasi-continuously instead
+            # of stop-starting on watermark-sized bursts.  Only a
+            # half-drained threshold forces the blocking join — at that
+            # point frames are outrunning the wire and the stall IS the
+            # wire bound (BENCH_EXTRA walk row + tunnel probes).
+            import os as _os
+            import time as _time
+            _dbg = _os.environ.get("MRHASH_STREAM_DEBUG") == "1"
+            _t0 = _time.perf_counter()
             self._drop_resident()
+            _t1 = _time.perf_counter()
             need = int(P.STREAM_TARGET * self.cfg.num_blocks) \
                 - self._high_free
+            need = min(need, 4096, self.streamer.staging)
             # protect radius covers the FULL frustum, not just the optical
             # axis: a wall point at depth max_depth near the image corner
             # sits at euclidean distance max_depth*|(1, tanx, tany)| > the
@@ -481,8 +529,15 @@ class GeoWrapper:
                 self.state = self.streamer.stream(
                     self.state, self.curr_trans, protect,
                     budget=max(need, 0), asynchronous=True)
+            _t2 = _time.perf_counter()
             self.streaming_profiler.write(self.streamer.grid.num_blocks())
+            _t3 = _time.perf_counter()
             self._high_free = int(self.state.table.high_count)
+            if _dbg:
+                print(f"GeoWrapper | trigger: drop {_t1 - _t0:.3f}s "
+                      f"stream {_t2 - _t1:.3f}s prof {_t3 - _t2:.3f}s "
+                      f"highfree {_time.perf_counter() - _t3:.3f}s",
+                      flush=True)
 
         with self.integration_profiler.event():
             cfg = self._bucket_cfg()
@@ -512,15 +567,23 @@ class GeoWrapper:
             if kind == "rgbd" and self.state.resident is not None:
                 self._resident_dirty = True
             self._maybe_prewarm(cfg, kind, args)
-            occupied = int(stats["occupied_blocks"])
-            self._last_occupied = occupied
-            if "occupied_total" in stats:
-                self._last_occupied_total = int(stats["occupied_total"])
-            self._high_free = int(stats["high_free"])
-            if "res0_demand" in stats:
-                self._last_res0_demand = int(stats["res0_demand"])
-                self._last_rows1_demand = int(stats["rows1_demand"])
-        self.integration_profiler.write(occupied)
+            # ONE-FRAME-STALE stats: each int() of a device scalar pays a
+            # serialized tunnel round trip (~27 ms); instead this frame's
+            # scalars start an ASYNC copy now and are consumed at the
+            # NEXT compute(), when they have long arrived.  The stream
+            # trigger / bucket ladder / profilers therefore see values one
+            # frame old — threshold crossings fire one frame late, which
+            # the watermark headroom absorbs.
+            for v in stats.values():
+                try:
+                    v.copy_to_host_async()
+                except Exception:
+                    pass
+            prev, self._pending_stats = getattr(self, "_pending_stats",
+                                                None), stats
+            if prev is not None:
+                self._consume_stats(prev)
+        self.integration_profiler.write(getattr(self, "_last_occupied", 0))
 
         if (self.gs_container is not None and self._depth_img is not None
                 and self._rgb_img is not None):
@@ -682,6 +745,7 @@ class GeoWrapper:
         clear program between batches."""
         import time
         t_start = time.perf_counter()
+        self._drain_stats()
         self._flush_resident()
         if self._extract_mesh_host(filename, t_start):
             return
@@ -864,6 +928,7 @@ class GeoWrapper:
 
     # ------------------------------------------------------------------ persistence
     def streamAllOut(self):
+        self._drain_stats()
         self._drop_resident()
         self.state = self.streamer.stream_all_out(self.state)
 
@@ -954,6 +1019,7 @@ class GeoWrapper:
         self.streamer.close()
         self.streamer = Streamer(self.cfg, self.streamer.staging)
         self._high_free = self.cfg.num_blocks
+        self._pending_stats = None
 
     def setNumSdfBlocks(self, n):
         self._rebuild(num_blocks=int(n))

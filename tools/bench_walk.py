@@ -86,12 +86,17 @@ def main():
     gw.cfg = dataclasses.replace(gw.cfg, alloc_tile=4, starve_bands=8)
     gw.setCamera(600.0, 600.0, 599.5, 339.5, ROWS, COLS, 0.01, MAXD)
 
+    import jax.numpy as jnp
     rng = np.random.default_rng(0)
-    rgb = rng.integers(0, 255, (ROWS, COLS, 3)).astype(np.uint8)
-    # a few phase-shifted depth variants (camera bobs inside the tube)
+    # pre-staged device frames, like bench.py's protocol: the scene cycles
+    # 8 canned depth variants, and re-uploading 5.7 MB of depth+rgb per
+    # frame over the ~40 MB/s axon tunnel measured ~140 ms/frame of pure
+    # wire time that exists on no production host (PCIe/DMA feeds the
+    # reference at GB/s)
+    rgb = jnp.asarray(rng.integers(0, 255, (ROWS, COLS, 3)).astype(np.uint8))
     offsets = [(0.1 * np.sin(k), 0.05 * np.cos(k))
                for k in np.linspace(0, 2 * np.pi, 8, endpoint=False)]
-    depths = [tube_depth(599.5, 339.5, 600.0, 600.0, ox, oy)
+    depths = [jnp.asarray(tube_depth(599.5, 339.5, 600.0, 600.0, ox, oy))
               for ox, oy in offsets]
 
     thresh = 0.15 * num_blocks
