@@ -129,13 +129,20 @@ def adopt_window(cfg: MapConfig, rp: ResidentPool, pool: VoxelPool,
     rslot = jnp.where(bvalid, rp.res_index[wrow], -1)
     served = bvalid & (rslot >= 0)
 
-    # reorder the window to resident-slot order
+    # reorder the window to resident-slot order: ONE packed [A,8] row
+    # scatter instead of six element scatters — a scatter's cost rides its
+    # index count, not its width (measured: the six-way form paid ~6x)
     tgt = jnp.where(served, rslot, A)
-    oslots = jnp.full((A,), -1, jnp.int32).at[tgt].set(slots, mode="drop")
-    obpos = jnp.zeros((A, 3), jnp.int32).at[tgt].set(bpos, mode="drop")
-    obptr = jnp.zeros((A,), jnp.int32).at[tgt].set(bptr, mode="drop")
-    obres = jnp.zeros((A,), jnp.int32).at[tgt].set(bres, mode="drop")
-    ovalid = jnp.zeros((A,), bool).at[tgt].set(served, mode="drop")
+    src = jnp.stack([slots, bpos[:, 0], bpos[:, 1], bpos[:, 2],
+                     bptr, bres, served.astype(jnp.int32),
+                     jnp.zeros((A,), jnp.int32)], axis=1)       # [A,8]
+    init = jnp.zeros((A, 8), jnp.int32).at[:, 0].set(-1)
+    packed = init.at[tgt].set(src, mode="drop")
+    oslots = packed[:, 0]
+    obpos = packed[:, 1:4]
+    obptr = packed[:, 4]
+    obres = packed[:, 5]
+    ovalid = packed[:, 6] > 0
     return rp, pool, (oslots, obpos, obptr, obres, ovalid)
 
 
@@ -243,15 +250,19 @@ def adopt_window_rows(cfg: MapConfig, rp: ResidentPool, pool: VoxelPool,
     eslot = jnp.where(bvalid, rp.res_index[prow], -1)
 
     # per-slot meta, rebuilt from the window each frame (so carve churn —
-    # coarsen allocs, GC frees, frustum exits — needs no event tracking)
+    # coarsen allocs, GC frees, frustum exits — needs no event tracking).
+    # Both reorders pack (pos, flag) into ONE [.,4] row scatter each — a
+    # scatter's cost rides its index count, not its width
     tgt0 = jnp.where(is0 & (eslot >= 0), eslot, A)
-    rpos = jnp.zeros((A, 3), jnp.int32).at[tgt0].set(bpos, mode="drop")
-    ovalid = jnp.zeros((A,), bool).at[tgt0].set(True, mode="drop")
+    src0 = jnp.concatenate([bpos, jnp.ones((A, 1), jnp.int32)], axis=1)
+    pk0 = jnp.zeros((A, 4), jnp.int32).at[tgt0].set(src0, mode="drop")
+    rpos = pk0[:, :3]
+    ovalid = pk0[:, 3] > 0
     gdest = jnp.where(is1 & (eslot >= 0), eslot * 8 + carve, A * 8)
-    gpos = jnp.zeros((A * 8, 3), jnp.int32).at[gdest].set(
-        bpos, mode="drop").reshape(A, 8, 3)
-    gvalid = jnp.zeros((A * 8,), jnp.int32).at[gdest].set(
-        1, mode="drop").reshape(A, 8)
+    pk1 = jnp.zeros((A * 8, 4), jnp.int32).at[gdest].set(
+        src0, mode="drop").reshape(A, 8, 4)
+    gpos = pk1[..., :3]
+    gvalid = pk1[..., 3]
     ovalid = ovalid | (jnp.sum(gvalid, axis=1) > 0)
     return rp, pool, dict(ovalid=ovalid, rpos=rpos, gpos=gpos,
                           gvalid=gvalid, eslot=eslot, ecarve=carve,

@@ -232,6 +232,14 @@ class MapConfig:
                                              # handful of blocks).  0 = off.
     max_gc_free_per_frame: int = 1 << 10     # GC free+clear set per frame
                                              # (same capacity-cost rule)
+    gc_free_tier: int = 1 << 6               # small-tier GC free capacity:
+                                             # when the decide count fits,
+                                             # the free+clear chain runs at
+                                             # this capacity instead of
+                                             # max_gc_free_per_frame (clear
+                                             # row traffic is O(capacity);
+                                             # steady-state frames free a
+                                             # handful).  0 = off.
     low_split_chunk: int = 1 << 10           # high blocks split per refill
     sample_patch: int = 16                   # per-block image patch side
     sample_fallback: int = 1 << 16           # out-of-patch lane budget

@@ -1730,30 +1730,48 @@ def garbage_collect_sweep(cfg: MapConfig, table: H.HashTable,
             "multi-res resident GC needs the kernel decision (the "
             "big-pool rows are stale)")
 
-    def do_free(table, pool, rp):
-        from mrhash_tpu.core import resident as RES
-        didx, dvalid, _ = H.compact_indices(decision, K)
-        didx_c = jnp.where(dvalid, didx, 0)
-        table, ptrs, fres, freed = H.free_slots(table, slots[didx_c],
-                                                dvalid)
-        if resident_rp is not None and multires:
-            # multi-res resident: freed carves share rows with live
-            # siblings — flush the resident copies to the big pool BEFORE
-            # zeroing the freed windows there, then drop residency (rows
-            # re-adopt from the updated big copy next frame)
-            rp, pool = RES.flush_release_rows(rp, pool, ptrs // LANES,
-                                              freed)
-            pool = _clear_blocks(pool, ptrs, fres, freed, multires=True)
+    def free_of(k):
+        def do_free(table, pool, rp):
+            from mrhash_tpu.core import resident as RES
+            didx, dvalid, _ = H.compact_indices(decision, k)
+            didx_c = jnp.where(dvalid, didx, 0)
+            table, ptrs, fres, freed = H.free_slots(table, slots[didx_c],
+                                                    dvalid)
+            if resident_rp is not None and multires:
+                # multi-res resident: freed carves share rows with live
+                # siblings — flush the resident copies to the big pool
+                # BEFORE zeroing the freed windows there, then drop
+                # residency (rows re-adopt from the updated big copy next
+                # frame)
+                rp, pool = RES.flush_release_rows(rp, pool, ptrs // LANES,
+                                                  freed)
+                pool = _clear_blocks(pool, ptrs, fres, freed, multires=True)
+                return table, pool, rp
+            pool = _clear_blocks(pool, ptrs, fres, freed, multires=multires)
+            if resident_rp is not None:
+                rp = RES.release_rows(rp, ptrs // LANES, didx_c, freed)
             return table, pool, rp
-        pool = _clear_blocks(pool, ptrs, fres, freed, multires=multires)
-        if resident_rp is not None:
-            rp = RES.release_rows(rp, ptrs // LANES, didx_c, freed)
-        return table, pool, rp
+        return do_free
 
     def skip_free(table, pool, rp):
         return table, pool, rp
 
-    any_free = jnp.any(decision)
+    # tier the free+clear chain like _tiered_coarsen: its row traffic is
+    # O(capacity) whether 1 or K blocks free, and steady-state frames free
+    # a handful — the n_decide <= tier branch runs a k=tier-sized program,
+    # bursts take the full-K one (both compile once; exactly one runs)
+    tier = min(int(cfg.gc_free_tier), K)
+    n_decide = jnp.sum(decision.astype(jnp.int32))
+    if 0 < tier < K:
+        small, full = free_of(tier), free_of(K)
+
+        def do_free(table, pool, rp):
+            return jax.lax.cond(n_decide <= tier, small, full,
+                                table, pool, rp)
+    else:
+        do_free = free_of(K)
+
+    any_free = n_decide > 0
     if resident_rp is not None:
         return jax.lax.cond(any_free, do_free, skip_free, table, pool,
                             resident_rp)

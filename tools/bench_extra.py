@@ -474,8 +474,17 @@ def main():
     if which == set(ALL):
         out = os.path.join(os.path.dirname(__file__), "..",
                            "BENCH_EXTRA.json")
+        # merge-preserve rows owned by other tools (bench_walk.py publishes
+        # tsdf_streaming_walk_* into the same artifact)
+        mine = {r["metric"] for r in recs}
+        try:
+            with open(out) as f:
+                foreign = [r for r in json.load(f)
+                           if r["metric"] not in mine]
+        except (OSError, ValueError):
+            foreign = []
         with open(out, "w") as f:
-            json.dump(recs, f, indent=1)
+            json.dump(recs + foreign, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -166,9 +166,18 @@ def main():
 
     for r in recs:
         print(json.dumps(r))
-    with open(os.path.join(os.path.dirname(__file__), "..",
-                           "BENCH_STREAMING.json"), "w") as f:
-        json.dump(recs, f, indent=1)
+    # merge-preserve rows owned by other tools (bench_extract.py publishes
+    # extract_mesh_* into the same artifact)
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "BENCH_STREAMING.json")
+    mine = {r["metric"] for r in recs}
+    try:
+        with open(path) as f:
+            foreign = [r for r in json.load(f) if r["metric"] not in mine]
+    except (OSError, ValueError):
+        foreign = []
+    with open(path, "w") as f:
+        json.dump(recs + foreign, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -132,6 +132,66 @@ def main():
     flops = A * LANES * 20
     report("starve_zbuffer_event", secs, byts, flops)
 
+    # ---- scatter-min floor probe (round-4 VERDICT next #8) -----------------
+    # The starve event is made of ONE primitive: a combiner scatter of
+    # A*512 source elements into an HW-pixel buffer.  Clock that primitive
+    # bare (same M, same dest size, realistic collision density) to show
+    # the stage runs AT the primitive's floor — i.e. the cost is the
+    # XLA:TPU element-granular scatter tax (~6-9 ms per million source
+    # elements, DESIGN.md measured rules), not a fixable formulation
+    # overhead.  There is no bandwidth-shaped formulation of a global
+    # per-pixel argmin on this hardware: combiner scatters with duplicate
+    # indices serialize, per-lane dynamic stores inside a Mosaic kernel
+    # serialize the same way, and a sort-based segment-min pays the tax
+    # on the sort instead.  The production mitigation is input shrinking
+    # (starve_bands sub-image banding, pipeline.py) — it divides the
+    # per-event M, not the per-element cost.
+    M = A * LANES
+    rng2 = np.random.default_rng(1)
+    pix_r = jnp.asarray(rng2.integers(0, HW, M, dtype=np.int32))
+    d_r = jnp.asarray(rng2.random(M, dtype=np.float32) + 0.5)
+
+    @jax.jit
+    def f_floor(pix, d):
+        zb = jnp.full((HW,), jnp.float32(1e30)).at[pix].min(d, mode="drop")
+        return jnp.sum(zb[:8])
+
+    secs_f = clock(f_floor, pix_r, d_r)
+    report("scatter_min_floor_probe", secs_f, M * 8 + HW * 4, 0)
+    recs[-1]["note"] = (
+        f"bare .at[pix].min(d) with M={M} sources into {HW} pixels; the "
+        "starve event above runs at this primitive's rate — see "
+        "tools/roofline.py for why no formulation beats it on TPU")
+
+    # ---- banded starve (production configuration) --------------------------
+    # What a starve frame actually costs in every bench/runner config:
+    # starve_bands=8 splits the event into 8 per-frame band passes on a
+    # [H/8, W] sub-image over the band's block subset (pipeline.py).
+    from mrhash_tpu.ops import hashtable as HT
+    k = max(int(getattr(cfg, "starve_bands", 8)), 1)
+    if k > 1:
+        cap = A
+        band0 = jnp.int32(0)
+        band_rows = ROWS // k + ROWS % k
+
+        @jax.jit
+        def f_band(rpool):
+            hit, lo, hi = I.starve_band_hits(cfg, cam, bp2, bv2, band0, k)
+            sel, selok, _ = HT.compact_indices(hit, cap)
+            s = jnp.where(selok, sel, 0)
+            bv = selok & bv2[s]
+            starved = I.starve_mask(cfg, cam, bp2[s], rptr[s], br2[s], bv,
+                                    row_band=(lo, hi), band_rows=band_rows)
+            p2 = I.apply_starve(cfg, rpool, rptr[s], br2[s], bv, starved)
+            return jnp.sum(p2.weight[:1, :8])
+
+        secs_b = clock(f_band, rp.pool)
+        byts_b = A * LANES * (4 + 4 + 4) // k + band_rows * COLS * 4 * 2
+        report("starve_banded_per_band", secs_b, byts_b, A * LANES * 20 // k)
+        recs[-1]["note"] = (
+            f"one of {k} per-frame band passes (sub-image {band_rows}x"
+            f"{COLS}); the full event above amortizes over {k} frames")
+
     # ---- GS tile blend fwd + bwd -------------------------------------------
     from mrhash_tpu.gs import blend_pallas as BP
     BLOCK = 16
